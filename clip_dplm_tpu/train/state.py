@@ -1,0 +1,112 @@
+"""Train state pytree + optimizer construction.
+
+The state is a single pytree (params, opt state, hard-negative cache ring
+buffer, RNG, step) so Orbax checkpoints capture everything needed for exact
+resume — superseding the three ad-hoc checkpoint dicts of the reference
+(triple_flow/5_training.py:335-358, triple_flow/1_config.py:434-452,
+tong/utils/training.py:144-151), and adding step-granular resume which the
+reference lacks (epoch-only).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from clip_dplm_tpu.config import Config, OptimConfig
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    # hard-negative embedding ring buffer (old/clip_opt.py:46-81); zeros-sized
+    # placeholder when disabled.
+    cache: jax.Array
+    cache_ptr: jax.Array
+    cache_len: jax.Array
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def build_schedule(cfg: OptimConfig) -> optax.Schedule:
+    peak = cfg.learning_rate
+    end = peak * cfg.min_lr_ratio
+    if cfg.schedule == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=peak,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+            end_value=end,
+        )
+    if cfg.schedule == "cosine":
+        # CosineAnnealingLR equivalent (run1/full.py:174)
+        return optax.cosine_decay_schedule(
+            init_value=peak, decay_steps=cfg.total_steps, alpha=cfg.min_lr_ratio
+        )
+    if cfg.schedule == "constant":
+        return optax.constant_schedule(peak)
+    raise ValueError(f"unknown schedule {cfg.schedule!r}")
+
+
+def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
+    """AdamW + global-norm clip + schedule (run1/full.py:173-174 recipe:
+    AdamW(wd=.01) + cosine, clip_grad_norm_(1.0))."""
+    schedule = build_schedule(cfg)
+    chain = []
+    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    chain.append(
+        optax.adamw(
+            learning_rate=schedule,
+            b1=cfg.beta1,
+            b2=cfg.beta2,
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        )
+    )
+    return optax.chain(*chain)
+
+
+def create_train_state(
+    model,
+    cfg: Config,
+    example_batch,
+    rng: Optional[jax.Array] = None,
+    tx: Optional[optax.GradientTransformation] = None,
+) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng, "dropout": init_rng}, example_batch, deterministic=True
+    )
+    params = variables["params"]
+    tx = tx if tx is not None else build_optimizer(cfg.train.optim)
+    cc = cfg.contrastive
+    cache_rows = cc.cache_size if cc.use_cache else 1
+    cache = jnp.zeros((cache_rows, cfg.projection.dim), jnp.float32)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=state_rng,
+        cache=cache,
+        cache_ptr=jnp.zeros((), jnp.int32),
+        cache_len=jnp.zeros((), jnp.int32),
+        tx=tx,
+        apply_fn=model.apply,
+    )

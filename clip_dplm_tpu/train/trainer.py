@@ -1,0 +1,278 @@
+"""Jitted train/eval steps + the Trainer loop.
+
+TPU-native replacement for the reference's three train loops
+(old/clip_opt.py:153-171, run1/full.py:120-187, tong/utils/training.py:7-155):
+one jitted train step, pjit-sharded over the `data` mesh axis. The global
+math is written once — batch-sharded inputs make XLA insert the ICI
+all-gather for the B x B similarity and the psum for gradients automatically
+(the DDP + dist.all_gather of run1/full.py:77-84,172 with zero backend code).
+
+Real gradient accumulation via `lax.scan` over microbatches (the reference
+only carried the config knob, triple_flow/1_config.py:146-150).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from clip_dplm_tpu.config import Config
+from clip_dplm_tpu.ops import infonce
+from clip_dplm_tpu.parallel import MeshContext
+from clip_dplm_tpu.train.state import TrainState
+
+
+def _clip_loss_fn(cfg: Config):
+    cc = cfg.contrastive
+
+    def loss_fn(params, apply_fn, batch, rng, cache, cache_len):
+        out = apply_fn(
+            {"params": params}, batch, deterministic=False, rngs={"dropout": rng}
+        )
+        emb_a, emb_b = out["emb_a"], out["emb_b"]
+        logit_scale = (
+            out["logit_scale"]
+            if cc.learned_temperature
+            else jnp.log(1.0 / cc.temperature)
+        )
+        loss, metrics = infonce.clip_loss(
+            emb_a,
+            emb_b,
+            logit_scale,
+            cache=cache if cc.use_cache else None,
+            cache_len=cache_len if cc.use_cache else None,
+            label_smoothing=cc.label_smoothing,
+            max_scale=cc.logit_scale_max,
+        )
+        return loss, (metrics, infonce.l2_normalize(emb_b))
+
+    return loss_fn
+
+
+def make_train_step(cfg: Config) -> Callable[[TrainState, Any], Tuple[TrainState, Dict]]:
+    """Build the (un-jitted) train step; jit it with shardings via
+    `jit_train_step` or directly for single-device tests."""
+    loss_fn = _clip_loss_fn(cfg)
+    accum = cfg.train.optim.grad_accum_steps
+    use_cache = cfg.contrastive.use_cache
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng, new_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        if accum <= 1:
+            (loss, (metrics, new_b)), grads = grad_fn(
+                state.params, state.apply_fn, batch, rng,
+                state.cache, state.cache_len,
+            )
+        else:
+            # microbatch scan: leading dim reshaped (accum, micro, ...)
+            def reshape(x):
+                return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+            micro = jax.tree_util.tree_map(reshape, batch)
+            rngs = jax.random.split(rng, accum)
+
+            def body(carry, xs):
+                grads_acc, loss_acc, metrics_acc = carry
+                mb, r = xs
+                (loss, (metrics, _)), grads = grad_fn(
+                    state.params, state.apply_fn, mb, r,
+                    state.cache, state.cache_len,
+                )
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                metrics_acc = jax.tree_util.tree_map(jnp.add, metrics_acc, metrics)
+                return (grads_acc, loss_acc + loss, metrics_acc), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+            (_, (metrics0, new_b)), _ = grad_fn(
+                state.params, state.apply_fn, mb0, rngs[0],
+                state.cache, state.cache_len,
+            )
+            zero_metrics = jax.tree_util.tree_map(jnp.zeros_like, metrics0)
+            (grads, loss, metrics), _ = jax.lax.scan(
+                body, (zero_grads, jnp.zeros(()), zero_metrics), (micro, rngs)
+            )
+            inv = 1.0 / accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss = loss * inv
+            metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+
+        new_state = state.apply_gradients(grads).replace(rng=new_rng)
+        if use_cache:
+            cache, ptr, filled = infonce.update_cache(
+                state.cache, state.cache_ptr, new_b, state.cache_len
+            )
+            new_state = new_state.replace(cache=cache, cache_ptr=ptr, cache_len=filled)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return step
+
+
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def make_eval_step(cfg: Config) -> Callable[[TrainState, Any], Dict]:
+    cc = cfg.contrastive
+
+    def step(state: TrainState, batch) -> Dict:
+        out = state.apply_fn({"params": state.params}, batch, deterministic=True)
+        logit_scale = (
+            out["logit_scale"]
+            if cc.learned_temperature
+            else jnp.log(1.0 / cc.temperature)
+        )
+        loss, metrics = infonce.clip_loss(
+            out["emb_a"], out["emb_b"], logit_scale,
+            label_smoothing=0.0, max_scale=cc.logit_scale_max,
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    return step
+
+
+def jit_train_step(step_fn, ctx: MeshContext, state: TrainState):
+    """jit with explicit shardings: state replicated, batch sharded over data.
+
+    XLA lowers the B x B similarity over the sharded batch into an ICI
+    all-gather + local matmul, and the gradient reduction into psums — the
+    whole NCCL layer of the reference disappears into the compiler.
+    """
+    repl = ctx.sharding(P())
+    batch_sh = ctx.sharding(P(ctx.data_axis))
+    state_sh = jax.tree_util.tree_map(lambda _: repl, state)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
+def jit_eval_step(step_fn, ctx: MeshContext, state: TrainState):
+    repl = ctx.sharding(P())
+    batch_sh = ctx.sharding(P(ctx.data_axis))
+    state_sh = jax.tree_util.tree_map(lambda _: repl, state)
+    return jax.jit(step_fn, in_shardings=(state_sh, batch_sh), out_shardings=repl)
+
+
+class EarlyStopping:
+    """Patience-based early stopping (rna nb cell 29; tong/utils/training.py:100-109)."""
+
+    def __init__(self, patience: int = 5, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best: Optional[float] = None
+        self.counter = 0
+        self.should_stop = False
+
+    def update(self, value: float) -> bool:
+        """Returns True if `value` is a new best."""
+        if self.best is None or value < self.best - self.min_delta:
+            self.best = value
+            self.counter = 0
+            return True
+        self.counter += 1
+        if self.counter >= self.patience:
+            self.should_stop = True
+        return False
+
+
+class Trainer:
+    """Epoch-driven training loop with eval, early stopping, checkpointing and
+    CSV/W&B-gated metric logging (capability match for the reference trainers;
+    see module docstring)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        state: TrainState,
+        ctx: Optional[MeshContext] = None,
+        checkpoint_dir: Optional[str] = None,
+        log_fn: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    ):
+        self.cfg = cfg
+        self.state = state
+        self.ctx = ctx
+        self.log_fn = log_fn
+        train_step = make_train_step(cfg)
+        eval_step = make_eval_step(cfg)
+        if ctx is not None:
+            self.train_step = jit_train_step(train_step, ctx, state)
+            self.eval_step = jit_eval_step(eval_step, ctx, state)
+        else:
+            self.train_step = jax.jit(train_step, donate_argnums=(0,))
+            self.eval_step = jax.jit(eval_step)
+        self.checkpoint_dir = checkpoint_dir
+        self.history: Dict[str, list] = {"train_loss": [], "val_loss": []}
+        self._ckpt = None
+        if checkpoint_dir:
+            from clip_dplm_tpu.train.checkpoint import CheckpointManager
+
+            self._ckpt = CheckpointManager(
+                checkpoint_dir, keep=cfg.train.keep_checkpoints
+            )
+
+    def _put(self, batch):
+        if self.ctx is not None:
+            from clip_dplm_tpu.parallel import shard_batch
+
+            return shard_batch(self.ctx, batch)
+        return batch
+
+    def train(
+        self,
+        train_batches: Callable[[], Iterable],
+        val_batches: Optional[Callable[[], Iterable]] = None,
+        num_epochs: Optional[int] = None,
+    ) -> Dict[str, list]:
+        num_epochs = num_epochs or self.cfg.train.num_epochs
+        stopper = EarlyStopping(self.cfg.train.early_stopping_patience)
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            losses = []
+            for batch in train_batches():
+                self.state, metrics = self.train_step(self.state, self._put(batch))
+                losses.append(metrics["loss"])
+            train_loss = float(np.mean([jax.device_get(l) for l in losses]))
+            self.history["train_loss"].append(train_loss)
+
+            val_loss = None
+            if val_batches is not None:
+                vals = [
+                    jax.device_get(self.eval_step(self.state, self._put(b))["loss"])
+                    for b in val_batches()
+                ]
+                val_loss = float(np.mean(vals))
+                self.history["val_loss"].append(val_loss)
+
+            if self.log_fn:
+                self.log_fn(
+                    epoch,
+                    {
+                        "train_loss": train_loss,
+                        "val_loss": val_loss if val_loss is not None else float("nan"),
+                        "epoch_seconds": time.time() - t0,
+                    },
+                )
+
+            monitor = val_loss if val_loss is not None else train_loss
+            is_best = stopper.update(monitor)
+            if self._ckpt and is_best:
+                self._ckpt.save(self.state, int(jax.device_get(self.state.step)))
+            if stopper.should_stop:
+                break
+        return self.history
