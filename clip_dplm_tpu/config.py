@@ -70,6 +70,7 @@ class ContrastiveConfig:
     cache_size: int = 8192  # hard-negative embedding cache
     use_cache: bool = False
     gather_global_batch: bool = True  # all-gather embeddings over the mesh
+    use_fused_kernel: bool = False  # Pallas fused InfoNCE (ops/fused_infonce.py)
 
 
 @dataclass(frozen=True)

@@ -40,15 +40,28 @@ def _clip_loss_fn(cfg: Config):
             if cc.learned_temperature
             else jnp.log(1.0 / cc.temperature)
         )
-        loss, metrics = infonce.clip_loss(
-            emb_a,
-            emb_b,
-            logit_scale,
-            cache=cache if cc.use_cache else None,
-            cache_len=cache_len if cc.use_cache else None,
-            label_smoothing=cc.label_smoothing,
-            max_scale=cc.logit_scale_max,
-        )
+        if cc.use_fused_kernel:
+            from clip_dplm_tpu.ops.fused_infonce import fused_clip_loss
+
+            loss, metrics = fused_clip_loss(
+                emb_a,
+                emb_b,
+                logit_scale,
+                cache=cache if cc.use_cache else None,
+                cache_len=cache_len if cc.use_cache else None,
+                max_scale=cc.logit_scale_max,
+                dot_dtype=jnp.bfloat16,
+            )
+        else:
+            loss, metrics = infonce.clip_loss(
+                emb_a,
+                emb_b,
+                logit_scale,
+                cache=cache if cc.use_cache else None,
+                cache_len=cache_len if cc.use_cache else None,
+                label_smoothing=cc.label_smoothing,
+                max_scale=cc.logit_scale_max,
+            )
         return loss, (metrics, infonce.l2_normalize(emb_b))
 
     return loss_fn
