@@ -105,6 +105,7 @@ class ESMConfig:
     num_heads: int = 20
     max_len: int = 1024
     token_dropout: bool = True
+    layer_norm_eps: float = 1e-5  # facebook/esm2 checkpoints use 1e-5
     frozen: bool = True
 
 

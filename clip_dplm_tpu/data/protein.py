@@ -1,0 +1,78 @@
+"""Protein sequence tokenization on the TPU-VM host.
+
+Native replacement for the fair-esm Alphabet / HF tokenizer the reference
+shells out to (tf nb cell 21 `pretrained.load_model_and_alphabet`;
+old/encoders.py:15-31 ProtT5 preprocessing with UZOB->X + spacing). The
+vocabulary is the public ESM-2 33-symbol alphabet in fair-esm order so token
+ids line up with converted checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# public ESM-2 alphabet, fair-esm `proteinseq_toks` ordering (33 symbols)
+ESM_VOCAB: List[str] = [
+    "<cls>", "<pad>", "<eos>", "<unk>",
+    "L", "A", "G", "V", "S", "E", "R", "T", "I", "D", "P", "K",
+    "Q", "N", "F", "Y", "M", "H", "W", "C",
+    "X", "B", "U", "Z", "O", ".", "-",
+    "<null_1>", "<mask>",
+]
+TOKEN_TO_ID = {t: i for i, t in enumerate(ESM_VOCAB)}
+CLS_IDX, PAD_IDX, EOS_IDX, UNK_IDX = 0, 1, 2, 3
+MASK_IDX = TOKEN_TO_ID["<mask>"]
+
+
+def clean_sequence(seq: str, replace_uzob: bool = False) -> str:
+    """Uppercase + whitespace strip; optionally map U/Z/O/B -> X (the ProtT5
+    convention of old/encoders.py:20-21)."""
+    seq = "".join(seq.split()).upper()
+    if replace_uzob:
+        seq = "".join("X" if c in "UZOB" else c for c in seq)
+    return seq
+
+
+def tokenize(
+    seq: str,
+    max_len: Optional[int] = None,
+    add_special: bool = True,
+    replace_uzob: bool = False,
+) -> np.ndarray:
+    """Sequence -> int32 ids [<cls>] + residues + [<eos>], truncated to
+    max_len total (the reference truncates at 1024: triple_flow/1_config.py:172)."""
+    seq = clean_sequence(seq, replace_uzob)
+    ids = [TOKEN_TO_ID.get(c, UNK_IDX) for c in seq]
+    if add_special:
+        budget = None if max_len is None else max_len - 2
+        ids = [CLS_IDX] + (ids if budget is None else ids[:budget]) + [EOS_IDX]
+    elif max_len is not None:
+        ids = ids[:max_len]
+    return np.asarray(ids, dtype=np.int32)
+
+
+def tokenize_batch(
+    seqs: Sequence[str],
+    max_len: Optional[int] = None,
+    pad_multiple: int = 8,
+    replace_uzob: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch tokenize + pad to a static shape: ((B, S) ids, (B, S) mask)."""
+    toks = [tokenize(s, max_len, replace_uzob=replace_uzob) for s in seqs]
+    L = max(len(t) for t in toks)
+    S = ((L + pad_multiple - 1) // pad_multiple) * pad_multiple
+    B = len(toks)
+    out = np.full((B, S), PAD_IDX, dtype=np.int32)
+    mask = np.zeros((B, S), dtype=bool)
+    for i, t in enumerate(toks):
+        out[i, : len(t)] = t
+        mask[i, : len(t)] = True
+    return out, mask
+
+
+def random_protein(rng: np.random.Generator, length: int) -> str:
+    """Synthetic sequence over the 20 standard residues (test fixture)."""
+    residues = "LAGVSERTIDPKQNFYMHWC"
+    return "".join(rng.choice(list(residues), size=length))

@@ -1,0 +1,234 @@
+"""ESM-2-style protein transformer, implemented natively in flax.
+
+TPU-native replacement for the frozen ESM-2 / ProtT5 inference the reference
+runs through fair-esm / HF transformers (tf nb cell 21:
+`esm2_t33_650M_UR50D` mean-pooled residue embeddings;
+triple_flow/3_esm_integration.py:45-135; old/encoders.py:15-31) — see
+SURVEY.md section 2.6 row 6. Architecture follows the public ESM-2 family so
+PyTorch checkpoints convert 1:1 (convert_esm_torch_params below):
+
+  * token embedding over the 33-symbol ESM alphabet with ESM's mask-token
+    dropout rescaling (token_dropout)
+  * pre-LN transformer blocks with rotary position embeddings on q/k
+    (applied per head before the Pallas flash-attention dispatch)
+  * GELU(exact) FFN, final layer norm
+  * pooling: mean over real residues excluding BOS/EOS (the reference's
+    embedding-pipeline convention) or per-token outputs
+
+ESM-2 family geometry (public): 8M t6/320/20h, 35M t12/480/20h,
+150M t30/640/20h, 650M t33/1280/20h.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from clip_dplm_tpu.config import ESMConfig
+from clip_dplm_tpu.ops.attention import attention_dispatch
+
+# fraction of tokens masked during ESM-2 pretraining (0.15 * 0.8); used by
+# the token-dropout rescaling at inference
+_MASK_RATIO_TRAIN = 0.15 * 0.8
+
+ESM2_SIZES = {
+    "esm2_t6_8M": dict(num_layers=6, d_model=320, num_heads=20),
+    "esm2_t12_35M": dict(num_layers=12, d_model=480, num_heads=20),
+    "esm2_t30_150M": dict(num_layers=30, d_model=640, num_heads=20),
+    "esm2_t33_650M": dict(num_layers=33, d_model=1280, num_heads=20),
+}
+
+
+def rotary_embed(x: jax.Array, positions: jax.Array) -> jax.Array:
+    """Apply rotary position embedding over the head dim of (B, H, S, Dh).
+
+    ESM-2 convention: theta = 10000^(-2i/Dh), rotate-half pairing
+    (x1, x2 = split halves; out = [x1*cos - x2*sin, x2*cos + x1*sin])."""
+    Dh = x.shape[-1]
+    half = Dh // 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[:, None].astype(jnp.float32) * freqs[None, :]  # (S, half)
+    cos = jnp.cos(angles)[None, None]  # (1, 1, S, half)
+    sin = jnp.sin(angles)[None, None]
+    x1, x2 = x[..., :half], x[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class EsmBlock(nn.Module):
+    """Pre-LN transformer block with rotary q/k (ESM-2 layer semantics)."""
+
+    d_model: int
+    num_heads: int
+    ffn_mult: int = 4
+    ln_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, positions):
+        H = self.num_heads
+        Dh = self.d_model // H
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                         param_dtype=self.param_dtype,
+                         name="ln_attn")(x).astype(self.dtype)
+        q = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="q")(h)
+        k = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="k")(h)
+        v = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="v")(h)
+        B, S, _ = h.shape
+
+        def heads(t):
+            return t.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = heads(q), heads(k), heads(v)
+        qh = rotary_embed(qh, positions)
+        kh = rotary_embed(kh, positions)
+        attn = attention_dispatch(qh, kh, vh, mask=mask)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, self.d_model)
+        attn = nn.Dense(self.d_model, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="out")(attn)
+        x = x + attn
+
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
+                         param_dtype=self.param_dtype,
+                         name="ln_ffn")(x).astype(self.dtype)
+        h = nn.Dense(self.ffn_mult * self.d_model, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="ffn_in")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.d_model, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="ffn_out")(h)
+        return x + h
+
+
+class ESMTower(nn.Module):
+    """ESM-2 encoder over token ids (B, S) with (B, S) validity mask.
+
+    Token ids follow the ESM alphabet (data/protein.py): 0=<cls>, 1=<pad>,
+    2=<eos>, 32=<mask>.
+    """
+
+    cfg: ESMConfig
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    remat: bool = False
+
+    MASK_IDX: int = 32
+    CLS_IDX: int = 0
+    EOS_IDX: int = 2
+    PAD_IDX: int = 1
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jax.Array,
+        mask: Optional[jax.Array] = None,
+        pooling: str = "tokens",
+    ) -> jax.Array:
+        c = self.cfg
+        B, S = tokens.shape
+        if mask is None:
+            mask = tokens != self.PAD_IDX
+
+        emb = nn.Embed(c.vocab_size, c.d_model, param_dtype=self.param_dtype,
+                       name="embed_tokens")(tokens).astype(jnp.float32)
+
+        if c.token_dropout:
+            # zero <mask> embeddings, rescale by observed mask ratio
+            is_masked = (tokens == self.MASK_IDX)[..., None]
+            emb = jnp.where(is_masked, 0.0, emb)
+            n_real = jnp.maximum(mask.sum(axis=-1, keepdims=True), 1)
+            ratio = (
+                (tokens == self.MASK_IDX) & mask
+            ).sum(axis=-1, keepdims=True) / n_real
+            scale = (1.0 - _MASK_RATIO_TRAIN) / jnp.maximum(1.0 - ratio, 1e-6)
+            emb = emb * scale[..., None]
+
+        # padded positions contribute nothing downstream
+        emb = jnp.where(mask[..., None], emb, 0.0)
+        h = emb.astype(self.dtype)
+        positions = jnp.arange(S)
+
+        block = EsmBlock
+        if self.remat:
+            block = nn.remat(EsmBlock, static_argnums=())
+        for i in range(c.num_layers):
+            h = block(
+                d_model=c.d_model, num_heads=c.num_heads,
+                ln_eps=c.layer_norm_eps,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(h, mask, positions)
+
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                         param_dtype=self.param_dtype, name="final_ln")(h)
+
+        if pooling == "tokens":
+            return h
+        if pooling == "mean_residues":
+            # mean over real residues excluding BOS/EOS (tf nb cell 21:
+            # representations[33] mean over positions 1..L)
+            residue = mask & (tokens != self.CLS_IDX) & (tokens != self.EOS_IDX)
+            w = residue[..., None].astype(h.dtype)
+            return (h * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1.0)
+        if pooling == "cls":
+            return h[:, 0]
+        raise ValueError(f"unknown pooling {pooling!r}")
+
+
+def esm_config_from_name(name: str, **overrides) -> ESMConfig:
+    geom = ESM2_SIZES[name]
+    return ESMConfig(name=name, **{**geom, **overrides})
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_esm_torch_params(state_dict: Dict[str, Any], cfg: ESMConfig):
+    """Convert an HF `EsmModel` state_dict (rotary variant — the real ESM-2
+    layout) into ESMTower flax params. Tensors arrive as torch tensors or
+    numpy arrays; returns a flax params dict (fp32).
+
+    HF layout reference: transformers.models.esm.modeling_esm
+    (embeddings.word_embeddings, encoder.layer.N.attention.self.{query,key,
+    value}, attention.output.dense, attention.LayerNorm [pre-attn LN],
+    intermediate.dense, output.dense, LayerNorm [pre-ffn LN],
+    encoder.emb_layer_norm_after).
+    """
+    import numpy as np
+
+    def get(key):
+        t = state_dict[key]
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                          dtype=np.float32)
+
+    def dense(prefix):
+        return {"kernel": get(f"{prefix}.weight").T, "bias": get(f"{prefix}.bias")}
+
+    def ln(prefix):
+        return {"scale": get(f"{prefix}.weight"), "bias": get(f"{prefix}.bias")}
+
+    params: Dict[str, Any] = {
+        "embed_tokens": {"embedding": get("embeddings.word_embeddings.weight")},
+        "final_ln": ln("encoder.emb_layer_norm_after"),
+    }
+    for i in range(cfg.num_layers):
+        hf = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "ln_attn": ln(f"{hf}.attention.LayerNorm"),
+            "q": dense(f"{hf}.attention.self.query"),
+            "k": dense(f"{hf}.attention.self.key"),
+            "v": dense(f"{hf}.attention.self.value"),
+            "out": dense(f"{hf}.attention.output.dense"),
+            "ln_ffn": ln(f"{hf}.LayerNorm"),
+            "ffn_in": dense(f"{hf}.intermediate.dense"),
+            "ffn_out": dense(f"{hf}.output.dense"),
+        }
+    return params

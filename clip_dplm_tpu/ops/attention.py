@@ -73,20 +73,17 @@ def _on_tpu() -> bool:
         return False
 
 
-def multihead_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    num_heads: int,
+def attention_dispatch(
+    qh: jax.Array,
+    kh: jax.Array,
+    vh: jax.Array,
     mask: Optional[jax.Array] = None,
     use_flash: Optional[bool] = None,
+    scale: Optional[float] = None,
 ) -> jax.Array:
-    """Multi-head self/cross attention over (B, S, D) inputs.
-
-    Dispatches to the Pallas flash kernel on TPU when the head dim and
-    sequence are MXU-tileable; reference path otherwise.
-    """
-    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    """Head-level dispatch over (B, H, S, Dh): Pallas flash kernel on TPU,
+    XLA reference otherwise. Used directly by towers that transform q/k per
+    head before attention (e.g. ESM rotary embeddings)."""
     seq_k = kh.shape[2]
     # the flash wrapper pads seq to block multiples and head_dim to the lane
     # width itself, so the only dispatch requirements are a TPU backend, a
@@ -98,7 +95,19 @@ def multihead_attention(
     if use_flash and flash_ok:
         from clip_dplm_tpu.ops.flash_attention import flash_attention
 
-        out = flash_attention(qh, kh, vh, mask=mask)
-    else:
-        out = attention_reference(qh, kh, vh, mask=mask)
+        return flash_attention(qh, kh, vh, mask=mask, scale=scale)
+    return attention_reference(qh, kh, vh, mask=mask, scale=scale)
+
+
+def multihead_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Multi-head self/cross attention over (B, S, D) inputs."""
+    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    out = attention_dispatch(qh, kh, vh, mask=mask, use_flash=use_flash)
     return _merge_heads(out)

@@ -82,12 +82,29 @@ def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     return optax.chain(*chain)
 
 
+def freeze_subtrees(
+    tx: optax.GradientTransformation, params, frozen_keys
+) -> optax.GradientTransformation:
+    """Zero the final updates for top-level param subtrees in `frozen_keys`.
+
+    stop_gradient alone is not enough: AdamW's decoupled weight decay would
+    still shrink frozen towers every step. Applied after the optimizer so
+    frozen params are bit-exact fixed."""
+    frozen = set(frozen_keys)
+    mask = {
+        k: jax.tree_util.tree_map(lambda _: k in frozen, v)
+        for k, v in params.items()
+    }
+    return optax.chain(tx, optax.masked(optax.set_to_zero(), mask))
+
+
 def create_train_state(
     model,
     cfg: Config,
     example_batch,
     rng: Optional[jax.Array] = None,
     tx: Optional[optax.GradientTransformation] = None,
+    frozen_keys=(),
 ) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
     init_rng, state_rng = jax.random.split(rng)
@@ -95,7 +112,12 @@ def create_train_state(
         {"params": init_rng, "dropout": init_rng}, example_batch, deterministic=True
     )
     params = variables["params"]
-    tx = tx if tx is not None else build_optimizer(cfg.train.optim)
+    if tx is None:
+        tx = build_optimizer(cfg.train.optim)
+        if not frozen_keys and cfg.esm.frozen and "esm_tower" in params:
+            frozen_keys = ("esm_tower",)
+        if frozen_keys:
+            tx = freeze_subtrees(tx, params, frozen_keys)
     cc = cfg.contrastive
     cache_rows = cc.cache_size if cc.use_cache else 1
     cache = jnp.zeros((cache_rows, cfg.projection.dim), jnp.float32)
