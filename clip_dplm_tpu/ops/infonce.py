@@ -172,6 +172,45 @@ def global_clip_loss(
     return loss, metrics
 
 
+def multiway_clip_loss(
+    embeddings: Dict[str, jax.Array],
+    logit_scale: jax.Array,
+    pairs: Optional[Tuple[Tuple[str, str], ...]] = None,
+    max_scale: float = 100.0,
+    label_smoothing: float = 0.0,
+    weights: Optional[Dict[Tuple[str, str], float]] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Sum of pairwise symmetric InfoNCE over modality pairs.
+
+    Semantics of the 3-way TF loss (tf nb cell 41: cell<->pert + cell<->protein
+    + pert<->protein, each symmetric CE, total = sum) and of
+    tong/utils/losses.py:34-54 (all present modality pairs). Pairs default to
+    all unordered pairs of the given embeddings, skipping missing modalities
+    exactly as the reference does.
+    """
+    names = list(embeddings.keys())
+    if pairs is None:
+        pairs = tuple(
+            (names[i], names[j])
+            for i in range(len(names))
+            for j in range(i + 1, len(names))
+        )
+    total = jnp.zeros(())
+    metrics: Dict[str, jax.Array] = {}
+    for a_name, b_name in pairs:
+        if a_name not in embeddings or b_name not in embeddings:
+            continue
+        loss, m = clip_loss(
+            embeddings[a_name], embeddings[b_name], logit_scale,
+            label_smoothing=label_smoothing, max_scale=max_scale,
+        )
+        w = 1.0 if weights is None else weights.get((a_name, b_name), 1.0)
+        total = total + w * loss
+        metrics[f"loss_{a_name}_{b_name}"] = loss
+        metrics[f"accuracy_{a_name}_{b_name}"] = m["accuracy"]
+    return total, metrics
+
+
 def update_cache(
     cache: jax.Array, ptr: jax.Array, new: jax.Array, filled: Optional[jax.Array] = None
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
