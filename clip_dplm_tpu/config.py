@@ -165,6 +165,10 @@ class ICNNConfig:
     hidden_dims: Tuple[int, ...] = (512, 256, 128)
     activation: str = "softplus"  # softplus | celu
     use_layer_norm: bool = True
+    # enforce positivity on the final layer + layer scales so Psi is convex
+    # by construction (the reference's stated requirement at
+    # 2_icnn_core.py:8-13, which its unconstrained nn.Linear final violates)
+    strict_convex: bool = True
     init_scale: float = 0.1
     eps: float = 1e-6
     gradient_clip: float = 10.0
