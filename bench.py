@@ -66,7 +66,7 @@ def main() -> None:
     from clip_dplm_tpu.models import TwoTowerCLIP
     from clip_dplm_tpu.train import create_train_state, make_train_step
 
-    B = 4096
+    B = 8192
     cfg = apply_overrides(
         Config(),
         [
@@ -79,6 +79,8 @@ def main() -> None:
             "projection.dim=512",
             f"train.batch_size={B}",
             "train.optim.total_steps=1000",
+            # fused Pallas InfoNCE: measured 1.1x over the XLA loss at B=8k
+            "contrastive.use_fused_kernel=true",
         ],
     )
     model = TwoTowerCLIP(cfg=cfg)
@@ -94,7 +96,7 @@ def main() -> None:
     # scans `iters` chained train steps inside ONE jit call and fetches the
     # final loss — per-call dispatch overhead is amortized and the timing is
     # forced by the data dependency.
-    iters = 30
+    iters = 20
 
     @jax.jit
     def multi_step(state, batch):
