@@ -81,6 +81,8 @@ def main() -> None:
             "train.optim.total_steps=1000",
             # fused Pallas InfoNCE: measured 1.1x over the XLA loss at B=8k
             "contrastive.use_fused_kernel=true",
+            # hardware RNG for dropout masks: threefry bit-gen costs ~4ms/step
+            "train.rng_impl=unsafe_rbg",
         ],
     )
     model = TwoTowerCLIP(cfg=cfg)

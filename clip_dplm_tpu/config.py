@@ -230,6 +230,10 @@ class TrainConfig:
     keep_checkpoints: int = 3
     early_stopping_patience: int = 10
     seed: int = 42
+    # dropout PRNG implementation: threefry (default, strongest) or
+    # unsafe_rbg (hardware RNG path - measured 1.3x step speedup at B=8k on
+    # v5e because threefry bit generation for big dropout masks is slow)
+    rng_impl: str = "threefry2x32"
     loss_weights: LossWeights = field(default_factory=LossWeights)
     optim: OptimConfig = field(default_factory=OptimConfig)
 

@@ -25,6 +25,8 @@ class TrainState:
     step: jax.Array
     params: Any
     opt_state: Any
+    # raw PRNG key data (jax.random.key_data) so Orbax can serialize it;
+    # wrap with jax.random.wrap_key_data(rng, impl=cfg.train.rng_impl)
     rng: jax.Array
     # hard-negative embedding ring buffer (old/clip_opt.py:46-81); zeros-sized
     # placeholder when disabled.
@@ -106,8 +108,10 @@ def create_train_state(
     tx: Optional[optax.GradientTransformation] = None,
     frozen_keys=(),
 ) -> TrainState:
-    rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+    if rng is None:
+        rng = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
     init_rng, state_rng = jax.random.split(rng)
+    state_rng = jax.random.key_data(state_rng)
     variables = model.init(
         {"params": init_rng, "dropout": init_rng}, example_batch, deterministic=True
     )

@@ -74,8 +74,12 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Any], Tuple[TrainState
     accum = cfg.train.optim.grad_accum_steps
     use_cache = cfg.contrastive.use_cache
 
+    rng_impl = cfg.train.rng_impl
+
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
-        rng, new_rng = jax.random.split(state.rng)
+        key = jax.random.wrap_key_data(state.rng, impl=rng_impl)
+        rng, new_key = jax.random.split(key)
+        new_rng = jax.random.key_data(new_key)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         if accum <= 1:
