@@ -84,3 +84,39 @@ def shard_batch(ctx: MeshContext, batch):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+TP_MIN_ELEMENTS = 1 << 16  # leaves smaller than this stay replicated
+
+
+def tp_leaf_spec(leaf, ctx: MeshContext, min_elements: int = TP_MIN_ELEMENTS) -> P:
+    """Shape-based tensor-parallel rule for a state leaf.
+
+    Large 2D kernels (in, out) shard their output dim over the `model` axis;
+    large embeddings (vocab, d) shard d; everything else (biases, LN scales,
+    scalars, optimizer counts) is replicated. Shape-based so it applies
+    uniformly to params AND their Adam moments without path bookkeeping.
+    """
+    tp = ctx.model_size
+    if tp <= 1 or not hasattr(leaf, "shape"):
+        return P()
+    shape = leaf.shape
+    if len(shape) == 2 and shape[0] * shape[1] >= min_elements and shape[1] % tp == 0:
+        return P(None, ctx.model_axis)
+    if len(shape) == 3 and shape[-1] % tp == 0 and leaf.size >= min_elements:
+        return P(None, None, ctx.model_axis)
+    return P()
+
+
+def apply_tp_sharding(state, ctx: MeshContext, min_elements: int = TP_MIN_ELEMENTS):
+    """device_put every leaf of a train state with the TP rule; jit then
+    propagates these committed shardings through the step (XLA inserts the
+    tensor-parallel collectives over ICI automatically)."""
+    def put(leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf
+        return jax.device_put(
+            leaf, ctx.sharding(tp_leaf_spec(leaf, ctx, min_elements))
+        )
+
+    return jax.tree_util.tree_map(put, state)

@@ -161,16 +161,24 @@ def make_eval_step(cfg: Config) -> Callable[[TrainState, Any], Dict]:
     return step
 
 
-def jit_train_step(step_fn, ctx: MeshContext, state: TrainState):
-    """jit with explicit shardings: state replicated, batch sharded over data.
+def jit_train_step(step_fn, ctx: MeshContext, state: TrainState,
+                   tp_min_elements: int = None):
+    """jit with explicit shardings: batch sharded over `data`, state sharded
+    by the tensor-parallel rule over `model` (replicated when model_size==1).
 
     XLA lowers the B x B similarity over the sharded batch into an ICI
-    all-gather + local matmul, and the gradient reduction into psums — the
-    whole NCCL layer of the reference disappears into the compiler.
+    all-gather + local matmul, the gradient reduction into psums, and the
+    TP-sharded kernels into all-gather/reduce-scatter pairs — the whole
+    NCCL layer of the reference disappears into the compiler.
     """
-    repl = ctx.sharding(P())
+    from clip_dplm_tpu.parallel.mesh import TP_MIN_ELEMENTS, tp_leaf_spec
+
+    me = TP_MIN_ELEMENTS if tp_min_elements is None else tp_min_elements
     batch_sh = ctx.sharding(P(ctx.data_axis))
-    state_sh = jax.tree_util.tree_map(lambda _: repl, state)
+    repl = ctx.sharding(P())
+    state_sh = jax.tree_util.tree_map(
+        lambda leaf: ctx.sharding(tp_leaf_spec(leaf, ctx, me)), state
+    )
     return jax.jit(
         step_fn,
         in_shardings=(state_sh, batch_sh),
@@ -179,10 +187,16 @@ def jit_train_step(step_fn, ctx: MeshContext, state: TrainState):
     )
 
 
-def jit_eval_step(step_fn, ctx: MeshContext, state: TrainState):
+def jit_eval_step(step_fn, ctx: MeshContext, state: TrainState,
+                  tp_min_elements: int = None):
+    from clip_dplm_tpu.parallel.mesh import TP_MIN_ELEMENTS, tp_leaf_spec
+
+    me = TP_MIN_ELEMENTS if tp_min_elements is None else tp_min_elements
     repl = ctx.sharding(P())
     batch_sh = ctx.sharding(P(ctx.data_axis))
-    state_sh = jax.tree_util.tree_map(lambda _: repl, state)
+    state_sh = jax.tree_util.tree_map(
+        lambda leaf: ctx.sharding(tp_leaf_spec(leaf, ctx, me)), state
+    )
     return jax.jit(step_fn, in_shardings=(state_sh, batch_sh), out_shardings=repl)
 
 

@@ -1,0 +1,93 @@
+"""Tensor-parallel sharding: dp x tp mesh runs the full train step and matches
+the single-device result."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from clip_dplm_tpu.config import Config, apply_overrides
+from clip_dplm_tpu.models import TwoTowerCLIP
+from clip_dplm_tpu.parallel import create_mesh
+from clip_dplm_tpu.parallel.mesh import apply_tp_sharding, tp_leaf_spec
+from clip_dplm_tpu.train import create_train_state, make_train_step
+from clip_dplm_tpu.train.trainer import jit_train_step
+
+
+def _cfg():
+    return apply_overrides(
+        Config(),
+        [
+            "tower_a.input_dim=64", "tower_a.hidden_size=256",
+            "tower_b.input_dim=64", "tower_b.hidden_size=256",
+            "projection.dim=128", "train.optim.total_steps=100",
+            "train.optim.warmup_steps=1",
+        ],
+    )
+
+
+def test_tp_leaf_spec_rules():
+    ctx = create_mesh(model_parallel=2)
+    big = jnp.zeros((512, 512))
+    assert tp_leaf_spec(big, ctx) == P(None, "model")
+    small = jnp.zeros((8, 8))
+    assert tp_leaf_spec(small, ctx) == P()
+    bias = jnp.zeros((512,))
+    assert tp_leaf_spec(bias, ctx) == P()
+    odd = jnp.zeros((512, 513))  # not divisible by tp
+    assert tp_leaf_spec(odd, ctx) == P()
+
+
+def test_dp_tp_step_matches_single_device(rng):
+    cfg = _cfg()
+    model = TwoTowerCLIP(cfg=cfg)
+    B = 32
+    batch = {
+        "a": jnp.asarray(rng.normal(size=(B, 64)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(B, 64)).astype(np.float32)),
+    }
+    state = create_train_state(model, cfg, batch)
+    step = make_train_step(cfg)
+
+    # single device baseline
+    s1, m1 = jax.jit(step)(state, batch)
+
+    # 4 data x 2 model mesh
+    ctx = create_mesh(model_parallel=2)
+    assert ctx.data_size == 4 and ctx.model_size == 2
+    state_tp = apply_tp_sharding(state, ctx, min_elements=1 << 12)
+    sharded = jit_train_step(step, ctx, state_tp, tp_min_elements=1 << 12)
+    from clip_dplm_tpu.parallel import shard_batch
+
+    s2, m2 = sharded(state_tp, shard_batch(ctx, batch))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-5)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5
+        )
+    # and the big kernels are actually sharded over the model axis
+    k = s2.params["tower_a"]["dense_0"]["kernel"]
+    assert "model" in str(k.sharding.spec)
+
+
+def test_tp_multi_step_stays_sharded(rng):
+    """Donated sharded state keeps its sharding across chained steps."""
+    cfg = _cfg()
+    model = TwoTowerCLIP(cfg=cfg)
+    batch = {
+        "a": jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32)),
+    }
+    ctx = create_mesh(model_parallel=2)
+    state = apply_tp_sharding(
+        create_train_state(model, cfg, batch), ctx, min_elements=1 << 12
+    )
+    step = jit_train_step(make_train_step(cfg), ctx, state, tp_min_elements=1 << 12)
+    from clip_dplm_tpu.parallel import shard_batch
+
+    b = shard_batch(ctx, batch)
+    for _ in range(3):
+        state, metrics = step(state, b)
+    assert np.isfinite(float(metrics["loss"]))
