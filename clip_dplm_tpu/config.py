@@ -189,6 +189,7 @@ class DPLMConfig:
     num_heads: int = 10
     max_len: int = 512
     num_diffusion_steps: int = 100
+    layer_norm_eps: float = 1e-5  # matches ESM-2 checkpoints for warm-start
     guidance_scale: float = 1.0
     guidance: str = "rerank"  # none | rerank | gradient
     num_candidates: int = 8  # for rerank guidance

@@ -68,11 +68,12 @@ class DPLM(nn.Module):
         for i in range(c.num_layers):
             h = block(
                 d_model=c.d_model, num_heads=c.num_heads,
+                ln_eps=c.layer_norm_eps,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )(h, mask, positions)
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
-                         name="final_ln")(h)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                         param_dtype=self.param_dtype, name="final_ln")(h)
         logits = nn.Dense(c.vocab_size, dtype=jnp.float32,
                           param_dtype=self.param_dtype, name="lm_head")(h)
         return logits
@@ -208,6 +209,33 @@ def sample(
         step_fn, init, jnp.arange(num_steps)
     )
     return tokens, confidence
+
+
+def init_dplm_from_esm(esm_params, dplm_params, tie_lm_head: bool = True):
+    """Warm-start the DPLM trunk from (converted) ESM-2 weights.
+
+    DPLM in the literature is an ESM-2 trunk fine-tuned as a diffusion
+    denoiser; our trunk reuses EsmBlock, so ESMTower params (e.g. from
+    models.esm.convert_esm_torch_params) drop straight in: embed_tokens,
+    layer_i, final_ln. The LM head is tied to the token embedding
+    (weight-tying) unless tie_lm_head=False, in which case it keeps its
+    fresh init.
+    """
+    import numpy as np
+
+    out = dict(dplm_params)
+    for key in esm_params:
+        if key in out and key != "final_ln":
+            out[key] = esm_params[key]
+    if "final_ln" in esm_params and "final_ln" in out:
+        out["final_ln"] = esm_params["final_ln"]
+    if tie_lm_head and "lm_head" in out:
+        emb = np.asarray(esm_params["embed_tokens"]["embedding"])
+        out["lm_head"] = {
+            "kernel": jnp.asarray(emb.T),
+            "bias": jnp.zeros((emb.shape[0],), jnp.float32),
+        }
+    return out
 
 
 def clip_guided_sample(

@@ -264,6 +264,16 @@ class Trainer:
             return shard_batch(self.ctx, batch)
         return batch
 
+    def _prefetched(self, batches: Iterable):
+        """Double-buffered host->device transfer: the next batch is collated
+        and device_put on a background thread while the device runs the
+        current step (data/prefetch.py)."""
+        from clip_dplm_tpu.data.prefetch import DevicePrefetcher
+        from clip_dplm_tpu.parallel import batch_sharding
+
+        sharding = batch_sharding(self.ctx) if self.ctx is not None else None
+        return DevicePrefetcher(batches, sharding=sharding, depth=2)
+
     def train(
         self,
         train_batches: Callable[[], Iterable],
@@ -275,8 +285,8 @@ class Trainer:
         for epoch in range(num_epochs):
             t0 = time.time()
             losses = []
-            for batch in train_batches():
-                self.state, metrics = self.train_step(self.state, self._put(batch))
+            for batch in self._prefetched(train_batches()):
+                self.state, metrics = self.train_step(self.state, batch)
                 losses.append(metrics["loss"])
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))
             self.history["train_loss"].append(train_loss)

@@ -139,3 +139,50 @@ def test_guided_sampling_with_logit_bias(rng):
     )
     inner = np.asarray(out)[:, 1:-1]
     assert (inner == G).mean() > 0.9
+
+
+def test_init_from_esm_checkpoint(rng):
+    """DPLM trunk warm-started from a converted HF ESM checkpoint produces
+    the SAME hidden representations as the ESM tower (before the LM head)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from transformers import EsmConfig as HFEsmConfig, EsmModel
+
+    from clip_dplm_tpu.config import ESMConfig
+    from clip_dplm_tpu.models.dplm import init_dplm_from_esm
+    from clip_dplm_tpu.models.esm import ESMTower, convert_esm_torch_params
+
+    torch.manual_seed(0)
+    hf = EsmModel(HFEsmConfig(
+        vocab_size=33, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=128,
+        max_position_embeddings=64, position_embedding_type="rotary",
+        token_dropout=False, emb_layer_norm_before=False,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        pad_token_id=1, mask_token_id=32,
+    ), add_pooling_layer=False)
+    esm_cfg = ESMConfig(name="tiny", vocab_size=33, d_model=32, num_layers=2,
+                        num_heads=2, max_len=64, token_dropout=False,
+                        layer_norm_eps=1e-12)
+    esm_params = convert_esm_torch_params(hf.state_dict(), esm_cfg)
+
+    dcfg = DPLMConfig(vocab_size=33, d_model=32, num_layers=2, num_heads=2,
+                      max_len=64, num_diffusion_steps=4, layer_norm_eps=1e-12)
+    dplm = DPLM(cfg=dcfg, dtype=jnp.float32)
+    toks, valid = _tokens(rng, B=2, L=10)
+    fresh = dplm.init(jax.random.PRNGKey(0), toks, valid)["params"]
+    warm = init_dplm_from_esm(esm_params, fresh)
+
+    # trunk equivalence: ESM tower token output == DPLM pre-head hidden
+    esm_tower = ESMTower(cfg=esm_cfg, dtype=jnp.float32)
+    esm_out = esm_tower.apply({"params": esm_params}, toks, valid,
+                              pooling="tokens")
+    logits = dplm.apply({"params": warm}, toks, valid)
+    # tied head: logits = hidden @ embedding.T -> recover parity by comparing
+    # against esm_out @ embedding.T
+    emb = np.asarray(esm_params["embed_tokens"]["embedding"])
+    expected = np.asarray(esm_out) @ emb.T
+    np.testing.assert_allclose(
+        np.asarray(logits), expected, atol=1e-4, rtol=1e-4
+    )
