@@ -231,6 +231,9 @@ class TrainConfig:
     keep_checkpoints: int = 3
     early_stopping_patience: int = 10
     seed: int = 42
+    # log the global gradient norm as a metric (costs an extra full pass
+    # over the gradients, ~4% of a B=8k step; clipping is unaffected)
+    log_grad_norm: bool = False
     # dropout PRNG implementation: threefry (default, strongest) or
     # unsafe_rbg (hardware RNG path - measured 1.3x step speedup at B=8k on
     # v5e because threefry bit generation for big dropout masks is slow)

@@ -24,6 +24,8 @@ def main(argv=None) -> dict:
         help="dotted config override, e.g. -o train.batch_size=64",
     )
     parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in the dir")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--platform", default=None,
                         help="force jax platform (cpu for local runs)")
@@ -57,6 +59,16 @@ def main(argv=None) -> dict:
     log.logger.info("parameters: %s", f"{n_params:,}")
 
     ckpt_dir = args.checkpoint_dir or os.path.join(cfg.logging.log_dir, "ckpt")
+    if args.resume:
+        from clip_dplm_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir, keep=cfg.train.keep_checkpoints)
+        step = mgr.latest_step()
+        if step is not None:
+            state = mgr.restore(state, step)
+            log.logger.info("resumed from step %d in %s", step, ckpt_dir)
+        else:
+            log.logger.info("no checkpoint to resume in %s; training fresh", ckpt_dir)
     trainer = Trainer(
         cfg, state, ctx=ctx, checkpoint_dir=ckpt_dir,
         log_fn=lambda epoch, m: log.log(epoch, m),

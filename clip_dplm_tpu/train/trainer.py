@@ -129,7 +129,8 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Any], Tuple[TrainState
             new_state = new_state.replace(cache=cache, cache_ptr=ptr, cache_len=filled)
         metrics = dict(metrics)
         metrics["loss"] = loss
-        metrics["grad_norm"] = optax_global_norm(grads)
+        if cfg.train.log_grad_norm:
+            metrics["grad_norm"] = optax_global_norm(grads)
         return new_state, metrics
 
     return step
