@@ -249,3 +249,13 @@ def select_hvg(X: np.ndarray, n_top_genes: int = 2000) -> np.ndarray:
     var = X.var(axis=0)
     k = min(n_top_genes, X.shape[1])
     return np.argsort(-var)[:k].astype(np.int64)
+
+
+def one_hot_labels(labels: np.ndarray, n_classes: Optional[int] = None) -> np.ndarray:
+    """One-hot encode class labels (the `mixscape_class` export of tf nb
+    cell 29 preprocess_data)."""
+    labels = np.asarray(labels, np.int64)
+    k = n_classes or int(labels.max()) + 1
+    out = np.zeros((labels.shape[0], k), np.float32)
+    out[np.arange(labels.shape[0]), labels] = 1.0
+    return out

@@ -33,7 +33,25 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
         target = _arrays_only(state)
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        try:
+            restored = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        except ValueError:
+            # rng key-data shape differs when the checkpoint was written with
+            # a different train.rng_impl (threefry2x32: (2,), rbg: (4,)).
+            # The rng only matters for exact dropout reproducibility — restore
+            # everything else and keep the fresh rng.
+            import warnings
+
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(target, strict=False)
+            )
+            # the padded/truncated rng from a different impl is meaningless;
+            # keep the fresh one
+            restored["rng"] = target["rng"]
+            warnings.warn(
+                "checkpoint rng_impl differs from the current config; "
+                "restored all state except the dropout rng"
+            )
         return state.replace(**restored)
 
 

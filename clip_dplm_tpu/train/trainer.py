@@ -257,6 +257,12 @@ class Trainer:
             self._ckpt = CheckpointManager(
                 checkpoint_dir, keep=cfg.train.keep_checkpoints
             )
+        self._profiler = None
+        if cfg.logging.profile:
+            from clip_dplm_tpu.utils.logging import ProfilerHook
+
+            self._profiler = ProfilerHook(cfg.logging.profile_dir)
+        self._global_step = 0
 
     def _put(self, batch):
         if self.ctx is not None:
@@ -289,6 +295,9 @@ class Trainer:
             for batch in self._prefetched(train_batches()):
                 self.state, metrics = self.train_step(self.state, batch)
                 losses.append(metrics["loss"])
+                self._global_step += 1
+                if self._profiler is not None:
+                    self._profiler.step(self._global_step)
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))
             self.history["train_loss"].append(train_loss)
 

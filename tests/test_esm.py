@@ -141,3 +141,24 @@ def test_esm_config_family():
     assert cfg.d_model == 1280 and cfg.num_layers == 33 and cfg.num_heads == 20
     cfg8 = esm_config_from_name("esm2_t6_8M")
     assert cfg8.d_model == 320 and cfg8.num_layers == 6
+
+
+def test_bf16_tower_close_to_fp32(hf_pair, rng):
+    """The bf16 compute policy (production path) stays within bf16 tolerance
+    of the fp32 tower — the 'bf16 numerics' parity gate of SURVEY.md sec 7."""
+    _, cfg, params = hf_pair
+    toks, mask = protein.tokenize_batch([protein.random_protein(rng, 25)])
+    f32 = ESMTower(cfg=cfg, dtype=jnp.float32).apply(
+        {"params": params}, jnp.asarray(toks), jnp.asarray(mask),
+        pooling="mean_residues",
+    )
+    bf16 = ESMTower(cfg=cfg, dtype=jnp.bfloat16).apply(
+        {"params": params}, jnp.asarray(toks), jnp.asarray(mask),
+        pooling="mean_residues",
+    )
+    a = np.asarray(bf16, np.float32)[0]
+    b = np.asarray(f32)[0]
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos  # direction preserved (what retrieval uses)
+    # per-component error small relative to the embedding norm
+    assert np.abs(a - b).max() / np.linalg.norm(b) < 0.02
