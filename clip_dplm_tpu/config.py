@@ -219,6 +219,9 @@ class OptimConfig:
     min_lr_ratio: float = 0.0
     grad_clip_norm: float = 1.0
     grad_accum_steps: int = 1  # real (lax.scan microbatches), unlike the ref
+    # dtype of Adam's first moment (bfloat16 halves optimizer HBM traffic;
+    # the second moment stays fp32 for numerical range)
+    moment_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

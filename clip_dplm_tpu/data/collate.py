@@ -113,3 +113,37 @@ def _pad_seq_dim(x: np.ndarray, mask: np.ndarray, S: int):
         np.pad(x, ((0, 0), (0, pad), (0, 0))),
         np.pad(mask, ((0, 0), (0, pad))),
     )
+
+
+def cluster_split(
+    seqs_a: Sequence[np.ndarray],
+    seqs_b: Sequence[np.ndarray],
+    val_fraction: float = 0.15,
+    n_clusters: int = 20,
+    seed: int = 0,
+) -> Tuple["TokenPairDataset", "TokenPairDataset"]:
+    """Cluster-based train/val split (rna nb cell 29 semantics: the
+    2758/494 split assigns whole motif clusters to one side so near-duplicate
+    sequences never straddle the split). Clusters are KMeans over mean-pooled
+    token embeddings of side a."""
+    from sklearn.cluster import KMeans
+
+    pooled = np.stack([s.mean(axis=0) for s in seqs_a])
+    k = min(n_clusters, len(seqs_a))
+    labels = KMeans(n_clusters=k, n_init=4, random_state=seed).fit_predict(pooled)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(k)
+    target_val = int(len(seqs_a) * val_fraction)
+    val_clusters = set()
+    count = 0
+    for c in order:
+        if count >= target_val:
+            break
+        val_clusters.add(int(c))
+        count += int((labels == c).sum())
+    val_idx = [i for i, l in enumerate(labels) if l in val_clusters]
+    train_idx = [i for i, l in enumerate(labels) if l not in val_clusters]
+    mk = lambda idx: TokenPairDataset(
+        [seqs_a[i] for i in idx], [seqs_b[i] for i in idx]
+    )
+    return mk(train_idx), mk(val_idx)

@@ -79,6 +79,7 @@ def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
             b2=cfg.beta2,
             eps=cfg.eps,
             weight_decay=cfg.weight_decay,
+            mu_dtype=jnp.bfloat16 if cfg.moment_dtype == "bfloat16" else None,
         )
     )
     return optax.chain(*chain)

@@ -91,3 +91,39 @@ def test_tp_multi_step_stays_sharded(rng):
     for _ in range(3):
         state, metrics = step(state, b)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_tp_sharded_esm_inference(rng):
+    """Frozen 'large' protein tower inference with kernels sharded over the
+    model axis (the TP plan for the 650M tower, SURVEY.md sec 2.7)."""
+    import jax.numpy as jnp
+
+    from clip_dplm_tpu.config import ESMConfig
+    from clip_dplm_tpu.data import protein
+    from clip_dplm_tpu.models.esm import ESMTower
+
+    cfg = ESMConfig(name="tp_test", vocab_size=33, d_model=128, num_layers=2,
+                    num_heads=4, max_len=64)
+    tower = ESMTower(cfg=cfg, dtype=jnp.float32)
+    toks, mask = protein.tokenize_batch(
+        [protein.random_protein(rng, 20) for _ in range(8)], pad_multiple=8)
+    toks, mask = jnp.asarray(toks), jnp.asarray(mask)
+    variables = tower.init(jax.random.PRNGKey(0), toks, mask)
+
+    ref = tower.apply(variables, toks, mask, pooling="mean_residues")
+
+    ctx = create_mesh(model_parallel=2)
+    sharded_vars = apply_tp_sharding(variables, ctx, min_elements=1 << 12)
+    fn = jax.jit(
+        lambda v, t, m: tower.apply(v, t, m, pooling="mean_residues"),
+        in_shardings=(
+            jax.tree_util.tree_map(
+                lambda l: ctx.sharding(tp_leaf_spec(l, ctx, 1 << 12)), variables
+            ),
+            ctx.sharding(P("data")),
+            ctx.sharding(P("data")),
+        ),
+    )
+    out = fn(sharded_vars, *map(lambda x: jax.device_put(
+        x, ctx.sharding(P("data"))), (toks, mask)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)

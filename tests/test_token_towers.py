@@ -102,3 +102,28 @@ def test_param_count_scales():
     params = model.init(jax.random.PRNGKey(0), batch)["params"]
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     assert 3e7 < n < 1.5e8, n
+
+
+def test_cluster_split_no_leakage(rng):
+    """Cluster-based split keeps whole clusters on one side."""
+    from clip_dplm_tpu.data.collate import cluster_split
+
+    # 4 well-separated motif clusters, 20 near-duplicates each
+    centers = rng.normal(size=(4, 8)).astype(np.float32) * 10
+    seqs_a, seqs_b = [], []
+    membership = []
+    for c in range(4):
+        for _ in range(20):
+            L = int(rng.integers(3, 8))
+            seqs_a.append(centers[c][None] + 0.01 * rng.normal(size=(L, 8)).astype(np.float32))
+            seqs_b.append(rng.normal(size=(L, 6)).astype(np.float32))
+            membership.append(c)
+    train, val = cluster_split(seqs_a, seqs_b, val_fraction=0.25, n_clusters=4)
+    assert len(train) + len(val) == 80
+    assert len(val) >= 20  # at least one whole cluster
+    # recover cluster of each val sequence; none of those clusters in train
+    def cluster_of(seq):
+        return int(np.argmin(np.linalg.norm(centers - seq.mean(0), axis=1)))
+    val_clusters = {cluster_of(s) for s in val.seqs_a}
+    train_clusters = {cluster_of(s) for s in train.seqs_a}
+    assert val_clusters.isdisjoint(train_clusters)
