@@ -62,6 +62,7 @@ class ProjectionConfig:
 class ContrastiveConfig:
     """InfoNCE / CLIP loss knobs (old/clip_opt.py:46-151, tong/utils/losses.py:4-19)."""
 
+    loss_kind: str = "infonce"  # infonce | flatnce | siglip | supcon
     logit_scale_init: float = 2.6592  # == log(1/0.07)
     logit_scale_max: float = 100.0  # clamp of exp(logit_scale)
     learned_temperature: bool = True

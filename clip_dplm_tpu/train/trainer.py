@@ -40,7 +40,28 @@ def _clip_loss_fn(cfg: Config):
             if cc.learned_temperature
             else jnp.log(1.0 / cc.temperature)
         )
-        if cc.use_fused_kernel:
+        if cc.loss_kind == "flatnce":
+            from clip_dplm_tpu.ops.loss_variants import flatnce_loss
+
+            loss, metrics = flatnce_loss(
+                emb_a, emb_b, logit_scale, max_scale=cc.logit_scale_max
+            )
+        elif cc.loss_kind == "siglip":
+            from clip_dplm_tpu.ops.loss_variants import siglip_loss
+
+            loss, metrics = siglip_loss(
+                emb_a, emb_b, logit_scale, max_scale=cc.logit_scale_max
+            )
+        elif cc.loss_kind == "supcon":
+            from clip_dplm_tpu.ops.loss_variants import supcon_pair_loss
+
+            if "labels" not in batch:
+                raise ValueError("supcon loss requires `labels` in the batch")
+            loss, metrics = supcon_pair_loss(
+                emb_a, emb_b, batch["labels"], logit_scale,
+                max_scale=cc.logit_scale_max,
+            )
+        elif cc.use_fused_kernel:
             from clip_dplm_tpu.ops.fused_infonce import fused_clip_loss
 
             loss, metrics = fused_clip_loss(

@@ -63,3 +63,35 @@ def test_siglip_perfect_alignment_low_loss(rng):
     random, m2 = siglip_loss(a, b, ls, logit_bias=jnp.asarray(np.float32(-5.0)))
     assert float(aligned) < float(random)
     assert float(m1["accuracy"]) == 1.0
+
+
+def test_loss_kind_selector_in_trainer(rng):
+    """contrastive.loss_kind routes the train step to each variant."""
+    import jax
+
+    from clip_dplm_tpu.config import Config, apply_overrides
+    from clip_dplm_tpu.models import TwoTowerCLIP
+    from clip_dplm_tpu.train import create_train_state, make_train_step
+
+    base = [
+        "tower_a.input_dim=16", "tower_a.hidden_size=32",
+        "tower_b.input_dim=16", "tower_b.hidden_size=32", "projection.dim=16",
+        "train.optim.total_steps=50",
+    ]
+    batch = {
+        "a": jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)),
+    }
+    for kind in ("infonce", "flatnce", "siglip"):
+        cfg = apply_overrides(Config(), base + [f"contrastive.loss_kind={kind}"])
+        model = TwoTowerCLIP(cfg=cfg)
+        state = create_train_state(model, cfg, batch)
+        state, m = jax.jit(make_train_step(cfg))(state, batch)
+        assert np.isfinite(float(m["loss"])), kind
+    # supcon needs labels
+    cfg = apply_overrides(Config(), base + ["contrastive.loss_kind=supcon"])
+    model = TwoTowerCLIP(cfg=cfg)
+    lbatch = dict(batch, labels=jnp.asarray(rng.integers(0, 3, 8)))
+    state = create_train_state(model, cfg, lbatch)
+    state, m = jax.jit(make_train_step(cfg))(state, lbatch)
+    assert np.isfinite(float(m["loss"]))
