@@ -235,6 +235,9 @@ class TrainConfig:
     keep_checkpoints: int = 3
     early_stopping_patience: int = 10
     seed: int = 42
+    # scan this many train steps per jit call (the host stacks that many
+    # batches); amortizes per-call dispatch latency on remote/tunneled TPUs
+    steps_per_call: int = 1
     # log the global gradient norm as a metric (costs an extra full pass
     # over the gradients, ~4% of a B=8k step; clipping is unaffected)
     log_grad_norm: bool = False

@@ -157,6 +157,27 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Any], Tuple[TrainState
     return step
 
 
+def make_multi_train_step(cfg: Config, steps_per_call: int):
+    """Scan `steps_per_call` train steps inside one jit call over a stacked
+    batch tree (leading dim = steps). Returns (state, metrics-of-last-step)."""
+    step = make_train_step(cfg)
+
+    def multi(state: TrainState, batches) -> Tuple[TrainState, Dict]:
+        def body(s, b):
+            s, m = step(s, b)
+            return s, m
+
+        state, metrics = jax.lax.scan(body, state, batches)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], metrics)
+
+    return multi
+
+
+def stack_batches(batches):
+    """Stack a list of same-shaped host batches along a new leading axis."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
 def optax_global_norm(tree) -> jax.Array:
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
@@ -261,7 +282,11 @@ class Trainer:
         self.state = state
         self.ctx = ctx
         self.log_fn = log_fn
-        train_step = make_train_step(cfg)
+        self.steps_per_call = max(1, cfg.train.steps_per_call)
+        if self.steps_per_call > 1:
+            train_step = make_multi_train_step(cfg, self.steps_per_call)
+        else:
+            train_step = make_train_step(cfg)
         eval_step = make_eval_step(cfg)
         if ctx is not None:
             self.train_step = jit_train_step(train_step, ctx, state)
@@ -292,6 +317,19 @@ class Trainer:
             return shard_batch(self.ctx, batch)
         return batch
 
+    def _grouped(self, batches: Iterable):
+        """Group into stacked super-batches when steps_per_call > 1 (the
+        ragged tail group is dropped to keep shapes static)."""
+        if self.steps_per_call <= 1:
+            yield from batches
+            return
+        group = []
+        for b in batches:
+            group.append(b)
+            if len(group) == self.steps_per_call:
+                yield stack_batches(group)
+                group = []
+
     def _prefetched(self, batches: Iterable):
         """Double-buffered host->device transfer: the next batch is collated
         and device_put on a background thread while the device runs the
@@ -313,10 +351,10 @@ class Trainer:
         for epoch in range(num_epochs):
             t0 = time.time()
             losses = []
-            for batch in self._prefetched(train_batches()):
+            for batch in self._prefetched(self._grouped(train_batches())):
                 self.state, metrics = self.train_step(self.state, batch)
                 losses.append(metrics["loss"])
-                self._global_step += 1
+                self._global_step += self.steps_per_call
                 if self._profiler is not None:
                     self._profiler.step(self._global_step)
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))

@@ -177,3 +177,30 @@ def test_projection_variants():
         state = create_train_state(model, cfg, batch)
         out = model.apply({"params": state.params}, batch, deterministic=True)
         assert np.all(np.isfinite(np.asarray(out["emb_a"], dtype=np.float32)))
+
+
+def test_multi_step_trainer_matches_single(mesh8):
+    """steps_per_call>1 scans steps on-device; same final loss trajectory as
+    single-step given identical batch order."""
+    cfg1 = small_cfg()
+    cfg2 = small_cfg(**{"train.steps_per_call": 2})
+    ds = PairedEmbeddingDataset.synthetic(128, cfg1.tower_a.input_dim,
+                                          cfg1.tower_b.input_dim, seed=5)
+    batches = [
+        _strip_labels(b) for b in ds.batches(32, seed=3, shuffle=False)
+    ]
+    from clip_dplm_tpu.train import Trainer
+
+    def run(cfg):
+        model = TwoTowerCLIP(cfg=cfg)
+        state = create_train_state(model, cfg, batches[0])
+        tr = Trainer(cfg, state)
+        tr.train(lambda: iter(batches), num_epochs=2)
+        return tr.state
+
+    s1, s2 = run(cfg1), run(cfg2)
+    assert int(s1.step) == int(s2.step) == 8
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
