@@ -471,8 +471,9 @@ def fused_symmetric_infonce(a, b, scale, dot_dtype=None):
 
 
 def _sym_fwd(a, b, scale, dot_dtype):
-    lse_a = _row_lse(a, b, scale, dot_dtype=dot_dtype)  # (B,1)
-    lse_b = _row_lse(b, a, scale, dot_dtype=dot_dtype)
+    # one shared-raw pass: row lse of scale*a b^T and its column lse
+    # (== row lse of scale*b a^T)
+    lse_a, lse_b = _sym_row_col_lse(a, b, scale, dot_dtype=dot_dtype)
     diag = jnp.sum(a * b, axis=-1, keepdims=True)  # (B,1)
     loss = 0.5 * (jnp.mean(lse_a - scale * diag) + jnp.mean(lse_b - scale * diag))
     return loss, (a, b, scale, lse_a, lse_b, diag)
@@ -495,3 +496,109 @@ def _sym_bwd(dot_dtype, res, g):
 
 
 fused_symmetric_infonce.defvjp(_sym_fwd, _sym_bwd)
+
+
+# ---------------------------------------------------------------------------
+# shared-raw forward: one B x B pass yields BOTH directions' logsumexps
+# ---------------------------------------------------------------------------
+#
+# lse_b (row lse of scale*b a^T) equals the column lse of scale*a b^T, so the
+# forward can compute the raw matrix once: row stats accumulate online in
+# scratch (exact), column stats are emitted as per-row-block partials
+# (block max + sumexp relative to it) and combined with an exact logsumexp
+# over the nm partials in XLA — no bounded-max approximation needed.
+# Cuts the symmetric forward from 2 full matmul passes to 1.
+
+
+def _sym_lse_kernel(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
+                    row_lse_ref, colmax_ref, colsum_ref, m_scr, l_scr,
+                    *, nn: int):
+    jn = pl.program_id(1)
+
+    @pl.when(jn == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    x = x_ref[:]
+    y = y_ref[:]
+    scale = scale_ref[0, 0]
+    colmask = colmask_ref[0]  # (1, bn): -1e30 on padded columns
+    rowmask = rowmask_ref[0]  # (1, bm): -1e30 on padded rows
+
+    raw = jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = raw * scale
+
+    # row stats (mask padded columns)
+    s_row = s + colmask
+    m_prev = m_scr[:, 0:1]
+    l_prev = l_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s_row, axis=-1, keepdims=True))
+    p = jnp.exp(s_row - m_new)
+    l_new = l_prev * jnp.exp(m_prev - m_new) + jnp.sum(p, axis=-1, keepdims=True)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(jn == nn - 1)
+    def _():
+        row_lse_ref[:] = m_scr[:, 0:1] + jnp.log(jnp.maximum(l_scr[:, 0:1], 1e-30))
+
+    # column partials for this (i, j) block (mask padded rows)
+    s_col = s + rowmask.reshape(-1, 1)[: s.shape[0]]
+    m_c = jnp.max(s_col, axis=0, keepdims=True)  # (1, bn)
+    p_c = jnp.sum(jnp.exp(s_col - m_c), axis=0, keepdims=True)
+    colmax_ref[0] = m_c
+    colsum_ref[0] = p_c
+
+
+def _sym_row_col_lse(x, y, scale, dot_dtype=None,
+                     block_m: int = BLOCK_M, block_n: int = BLOCK_N):
+    """One pass over scale * x y^T returning (row_lse (m,1), col_lse (n,1))."""
+    m, d = x.shape
+    n = y.shape[0]
+    block_m = min(block_m, _round_up(m, 8))
+    block_n = min(block_n, _round_up(n, 128))
+    mp, np_ = _round_up(m, block_m), _round_up(n, block_n)
+    xp = jnp.pad(x, ((0, mp - m), (0, 0))) if mp != m else x
+    yp = jnp.pad(y, ((0, np_ - n), (0, 0))) if np_ != n else y
+    if dot_dtype is not None:
+        xp, yp = xp.astype(dot_dtype), yp.astype(dot_dtype)
+    colmask = jnp.where(jnp.arange(np_)[None, :] < n, 0.0, NEG_INF).astype(
+        jnp.float32)[None]
+    rowmask = jnp.where(jnp.arange(mp)[None, :] < m, 0.0, NEG_INF).astype(
+        jnp.float32)[None]
+    scale2d = scale.reshape(1, 1).astype(jnp.float32)
+    nm, nn = mp // block_m, np_ // block_n
+
+    row_lse, colmax, colsum = pl.pallas_call(
+        functools.partial(_sym_lse_kernel, nn=nn),
+        grid=(nm, nn),
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_n), lambda i, j: (0, 0, j)),
+            pl.BlockSpec((1, 1, block_m), lambda i, j: (0, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, block_n), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, 1, block_n), lambda i, j: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nm, 1, np_), jnp.float32),
+            jax.ShapeDtypeStruct((nm, 1, np_), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_m, 128), jnp.float32),
+            pltpu.VMEM((block_m, 128), jnp.float32),
+        ],
+    )(xp, yp, scale2d, colmask, rowmask)
+
+    # exact combine of the nm column partials
+    log_part = colmax[:, 0, :] + jnp.log(jnp.maximum(colsum[:, 0, :], 1e-30))
+    col_lse = jax.nn.logsumexp(log_part, axis=0)[:, None]  # (np_, 1)
+    return row_lse[:m], col_lse[:n]
