@@ -19,24 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def fetch_timed(fn, *args, iters=20):
-    """Scan-chained timing with a host fetch (see CLAUDE.md tunnel notes)."""
-    @jax.jit
-    def run(*a):
-        def body(c, _):
-            return c, fn(*a)
-        _, outs = jax.lax.scan(body, 0, None, length=iters)
-        return jax.tree_util.tree_map(lambda x: x[-1], outs)
-
-    out = run(*args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[0])
-    t0 = time.perf_counter()
-    out = run(*args)
-    float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[0])
-    return (time.perf_counter() - t0) / iters
-
-
 def main() -> None:
     from clip_dplm_tpu.ops.attention import attention_reference
     from clip_dplm_tpu.ops.flash_attention import flash_attention
@@ -57,15 +39,29 @@ def main() -> None:
     o2 = attention_reference(q, k, v, mask=mask)
     diff = float(jnp.max(jnp.abs(
         jnp.where(mask[:, None, :, None], (o1 - o2).astype(jnp.float32), 0.0))))
-    t_flash = fetch_timed(lambda q: flash_attention(q, k, v, mask=mask).sum(), q)
-    t_ref = fetch_timed(lambda q: attention_reference(q, k, v, mask=mask).sum(), q)
-    line_ok = diff < 5e-2 and t_flash < t_ref * 1.2
+    def chained_attn_time(fn, iters=20):
+        @jax.jit
+        def run(q):
+            def body(c, _):
+                return fn(c, k, v).astype(c.dtype), ()
+            out, _ = jax.lax.scan(body, q, None, length=iters)
+            return out.sum()
+        float(run(q))
+        t0 = time.perf_counter()
+        float(run(q))
+        return (time.perf_counter() - t0) / iters
+
+    t_flash = chained_attn_time(lambda q, k, v: flash_attention(q, k, v, mask=mask))
+    t_ref = chained_attn_time(lambda q, k, v: attention_reference(q, k, v, mask=mask))
+    line_ok = diff < 5e-2 and t_flash < t_ref * 1.1
     ok &= line_ok
     print(f"flash_attention S={S}: maxdiff={diff:.2e} "
           f"{t_flash*1e3:.2f}ms vs xla {t_ref*1e3:.2f}ms "
           f"{'OK' if line_ok else 'FAIL'}")
 
-    # fused InfoNCE parity + speed
+    # fused InfoNCE parity + speed — FULL gradients (da, db, dls; a partial
+    # grad lets XLA DCE half its backward while the custom VJP cannot) and a
+    # CHAINED scan (constant-input bodies get hoisted, see CLAUDE.md).
     Bc, Dc = 8192, 512
     a = jnp.asarray(rng.normal(size=(Bc, Dc)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(Bc, Dc)).astype(np.float32))
@@ -73,13 +69,28 @@ def main() -> None:
     l1, _ = fused_clip_loss(a, b, ls, dot_dtype=jnp.bfloat16)
     l2, _ = infonce.clip_loss(a, b, ls)
     rel = abs(float(l1) - float(l2)) / abs(float(l2))
-    t_fused = fetch_timed(
-        lambda a: jax.grad(
-            lambda a: fused_clip_loss(a, b, ls, dot_dtype=jnp.bfloat16)[0])(a).sum(),
-        a)
-    t_xla = fetch_timed(
-        lambda a: jax.grad(lambda a: infonce.clip_loss(a, b, ls)[0])(a).sum(), a)
-    line_ok = rel < 1e-3 and t_fused < t_xla * 1.2
+
+    def chained_grad_time(loss_fn, iters=10):
+        @jax.jit
+        def run(a, b, ls):
+            def body(carry, _):
+                aa, bb, ll = carry
+                g = jax.grad(lambda a, b, l: loss_fn(a, b, l)[0],
+                             argnums=(0, 1, 2))(aa, bb, ll)
+                return (aa - 1e-6 * g[0], bb - 1e-6 * g[1], ll - 1e-6 * g[2]), g[2]
+            _, hist = jax.lax.scan(body, (a, b, ls), None, length=iters)
+            return hist[-1]
+        float(run(a, b, ls))
+        t0 = time.perf_counter()
+        float(run(a, b, ls))
+        return (time.perf_counter() - t0) / iters
+
+    import functools
+
+    t_fused = chained_grad_time(
+        functools.partial(fused_clip_loss, dot_dtype=jnp.bfloat16))
+    t_xla = chained_grad_time(infonce.clip_loss)
+    line_ok = rel < 1e-3 and t_fused < t_xla * 1.1
     ok &= line_ok
     print(f"fused_infonce B={Bc}: rel={rel:.2e} "
           f"{t_fused*1e3:.2f}ms vs xla {t_xla*1e3:.2f}ms "
