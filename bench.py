@@ -62,11 +62,13 @@ def two_tower_step_flops(cfg, batch: int) -> float:
 
 
 def main() -> None:
+    import os
+
     from clip_dplm_tpu.config import Config, apply_overrides
     from clip_dplm_tpu.models import TwoTowerCLIP
     from clip_dplm_tpu.train import create_train_state, make_train_step
 
-    B = 8192
+    B = int(os.environ.get("BENCH_B", 8192))
     cfg = apply_overrides(
         Config(),
         [
@@ -97,8 +99,10 @@ def main() -> None:
     # The device tunnel only reliably syncs on host fetches, so the benchmark
     # scans `iters` chained train steps inside ONE jit call and fetches the
     # final loss — per-call dispatch overhead is amortized and the timing is
-    # forced by the data dependency.
-    iters = 20
+    # forced by the data dependency. The tunnel costs ~35 ms per CALL, so the
+    # scan must be long: 20 steps overstated the step by ~1.7 ms (14%);
+    # at 100 steps wall time matches the profiler's device-busy time.
+    iters = int(os.environ.get("BENCH_ITERS", 100))
 
     @jax.jit
     def multi_step(state, batch):

@@ -203,12 +203,127 @@ def compute_trajectory_info(
     ctrl = np.nonzero(cells.obs.get(ctrl_key, np.zeros(cells.n_obs)) == ctrl_value)[0]
     root = int(ctrl[0]) if len(ctrl) else 0
     dpt = diffusion_pseudotime(conn, root, n_comps)
+    leiden = leiden_clusters(conn)
     cells.obsm["X_diffmap"] = comps
     cells.obs["dpt_pseudotime"] = dpt
+    cells.obs["leiden"] = leiden
     cells.uns["edge_index"] = edge_index
     cells.uns["connectivities"] = conn
     cells.uns["iroot"] = root
+    cells.uns["paga"] = {
+        "connectivities": paga_connectivities(conn, leiden),
+        "groups": "leiden",
+    }
     return cells
+
+
+def leiden_clusters(
+    conn: np.ndarray,
+    resolution: float = 1.0,
+    seed: int = 0,
+    max_iters: int = 20,
+) -> np.ndarray:
+    """Graph-modularity clustering of a weighted connectivity matrix —
+    native equivalent of `sc.tl.leiden` (tf nb cells 8-12,
+    tong/utils/data.py:36-49; scanpy shells out to leidenalg, absent here).
+
+    Louvain-style greedy local moving with one coarsening level: each node
+    moves to the neighboring community with the largest modularity gain
+
+        dQ = w(i, C) - resolution * k_i * sum_C / (2m)
+
+    until no move improves Q, then communities are contracted and the local
+    moving repeats on the coarse graph. Deterministic given `seed`.
+    Returns int32 labels, compacted to 0..k-1.
+    """
+    rng = np.random.default_rng(seed)
+
+    def local_moving(W: np.ndarray, labels: np.ndarray) -> np.ndarray:
+        n = W.shape[0]
+        k_deg = W.sum(axis=1)
+        two_m = max(k_deg.sum(), 1e-12)
+        sum_tot = np.zeros(labels.max() + 1)
+        np.add.at(sum_tot, labels, k_deg)
+        improved = True
+        it = 0
+        while improved and it < max_iters:
+            improved = False
+            it += 1
+            for i in rng.permutation(n):
+                c_old = labels[i]
+                sum_tot[c_old] -= k_deg[i]
+                # weight from i into each candidate community (its neighbors')
+                nbrs = np.nonzero(W[i])[0]
+                cand = np.unique(labels[nbrs]) if len(nbrs) else np.array([c_old])
+                w_in = np.zeros(len(cand))
+                for j, c in enumerate(cand):
+                    w_in[j] = W[i, nbrs[labels[nbrs] == c]].sum()
+                gain = w_in - resolution * k_deg[i] * sum_tot[cand] / two_m
+                # staying put is always a candidate
+                stay = np.nonzero(cand == c_old)[0]
+                best = int(cand[np.argmax(gain)])
+                if len(stay) and gain[stay[0]] >= gain.max() - 1e-12:
+                    best = c_old
+                if best != c_old:
+                    labels[i] = best
+                    improved = True
+                sum_tot[labels[i]] += k_deg[i]
+        return labels
+
+    n = conn.shape[0]
+    W = conn.astype(np.float64)
+    np.fill_diagonal(W, 0.0)
+    labels = local_moving(W, np.arange(n, dtype=np.int64))
+    # one level of contraction + re-moving (captures most of leiden's gain
+    # over plain label propagation on kNN graphs of this size)
+    _, compact = np.unique(labels, return_inverse=True)
+    k = compact.max() + 1
+    agg = np.zeros((k, k))
+    np.add.at(agg, (compact[:, None], compact[None, :]), W)
+    coarse = local_moving(agg, np.arange(k, dtype=np.int64))
+    labels = coarse[compact]
+    _, out = np.unique(labels, return_inverse=True)
+    return out.astype(np.int32)
+
+
+def modularity(conn: np.ndarray, labels: np.ndarray, resolution: float = 1.0) -> float:
+    """Newman modularity Q of a labeling (test oracle for leiden_clusters)."""
+    W = conn.astype(np.float64).copy()
+    np.fill_diagonal(W, 0.0)
+    two_m = max(W.sum(), 1e-12)
+    k_deg = W.sum(axis=1)
+    q = 0.0
+    for c in np.unique(labels):
+        m = labels == c
+        q += W[np.ix_(m, m)].sum() / two_m
+        q -= resolution * (k_deg[m].sum() / two_m) ** 2
+    return float(q)
+
+
+def paga_connectivities(
+    conn: np.ndarray, labels: np.ndarray, n_clusters: Optional[int] = None
+) -> np.ndarray:
+    """PAGA cluster-graph connectivity (sc.tl.paga v1.2 statistic): observed
+    inter-cluster edge weight over its expectation under the configuration
+    model, clipped to [0, 1].
+
+        c_ij = w_ij / (s_i * s_j / (2m))   (0 on the diagonal)
+
+    High c_ij = the trajectory continues between clusters i and j; this is
+    the trajectory-topology map the reference computes via scanpy (tf nb
+    cells 8-12) and reads for branch structure."""
+    k = n_clusters or int(labels.max()) + 1
+    W = conn.astype(np.float64).copy()
+    np.fill_diagonal(W, 0.0)
+    two_m = max(W.sum(), 1e-12)
+    agg = np.zeros((k, k))
+    np.add.at(agg, (labels[:, None], labels[None, :]), W)
+    s = agg.sum(axis=1)  # cluster degree
+    expected = np.outer(s, s) / two_m
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = np.where(expected > 0, agg / expected, 0.0)
+    np.fill_diagonal(c, 0.0)
+    return np.clip(c, 0.0, 1.0).astype(np.float32)
 
 
 def cluster_graph(

@@ -41,6 +41,10 @@ class DevicePrefetcher:
     def _put_device(self, batch):
         if self._transform is not None:
             batch = self._transform(batch)
+        if callable(self._sharding):  # per-leaf sharding rule
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._sharding(x)), batch
+            )
         if self._sharding is not None:
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, self._sharding), batch

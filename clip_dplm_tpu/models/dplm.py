@@ -110,10 +110,19 @@ def diffusion_loss(
     valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """RDM-weighted masked-token CE: E_t [ (1/t) * CE(masked positions) ]."""
+    return diffusion_loss_from_apply(model.apply, params, key, tokens, valid)
+
+
+def diffusion_loss_from_apply(
+    apply_fn, params, key: jax.Array, tokens: jax.Array,
+    valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """diffusion_loss over a flax apply_fn (the Trainer holds apply_fn, not
+    the module)."""
     if valid is None:
         valid = tokens != PAD_IDX
     x_t, corrupted, t = corrupt(key, tokens, valid)
-    logits = model.apply({"params": params}, x_t, valid)
+    logits = apply_fn({"params": params}, x_t, valid)
     logp = jax.nn.log_softmax(logits, axis=-1)
     tok_logp = jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]
     per_seq = jnp.sum(jnp.where(corrupted, -tok_logp, 0.0), axis=-1)
@@ -177,7 +186,9 @@ def sample(
             logits = logits + logit_bias_fn(tokens, logits)
         logp = jax.nn.log_softmax(logits / jnp.maximum(temperature, 1e-6), -1)
         gumbel = jax.random.gumbel(k_gumbel, logp.shape)
-        proposal = jnp.argmax(logp + temperature * gumbel, axis=-1)
+        # exact Gumbel-max draw from softmax(logits / t): the gumbel noise is
+        # NOT rescaled by t (that would sample at effective temperature t^2)
+        proposal = jnp.argmax(logp + gumbel, axis=-1)
         prop_logp = jnp.take_along_axis(
             jax.nn.log_softmax(logits, -1), proposal[..., None], -1
         )[..., 0]

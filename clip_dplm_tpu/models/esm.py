@@ -129,23 +129,40 @@ class ESMTower(nn.Module):
         tokens: jax.Array,
         mask: Optional[jax.Array] = None,
         pooling: str = "tokens",
+        token_probs: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """`token_probs` (B, S, vocab): optional soft token distributions; the
+        embedding lookup becomes probs @ table (differentiable w.r.t. probs —
+        the relaxation behind soft CLIP guidance of the DPLM sampler). Exactly
+        equals the hard path when probs is one-hot(tokens). `tokens` still
+        supplies special-token positions for masking/pooling."""
         c = self.cfg
         B, S = tokens.shape
         if mask is None:
             mask = tokens != self.PAD_IDX
 
-        emb = nn.Embed(c.vocab_size, c.d_model, param_dtype=self.param_dtype,
-                       name="embed_tokens")(tokens).astype(jnp.float32)
+        embed = nn.Embed(c.vocab_size, c.d_model, param_dtype=self.param_dtype,
+                         name="embed_tokens")
+        if token_probs is None:
+            emb = embed(tokens).astype(jnp.float32)
+        else:
+            table = embed(jnp.arange(c.vocab_size)).astype(jnp.float32)
+            emb = token_probs.astype(jnp.float32) @ table
 
         if c.token_dropout:
             # zero <mask> embeddings, rescale by observed mask ratio
-            is_masked = (tokens == self.MASK_IDX)[..., None]
-            emb = jnp.where(is_masked, 0.0, emb)
+            if token_probs is None:
+                p_mask = (tokens == self.MASK_IDX).astype(jnp.float32)
+                is_masked = (tokens == self.MASK_IDX)[..., None]
+                emb = jnp.where(is_masked, 0.0, emb)
+            else:
+                p_mask = token_probs[..., self.MASK_IDX].astype(jnp.float32)
+                # subtract the expected <mask> contribution (== zeroing in the
+                # one-hot limit, smooth in between)
+                mask_row = embed(jnp.full((), self.MASK_IDX)).astype(jnp.float32)
+                emb = emb - p_mask[..., None] * mask_row
             n_real = jnp.maximum(mask.sum(axis=-1, keepdims=True), 1)
-            ratio = (
-                (tokens == self.MASK_IDX) & mask
-            ).sum(axis=-1, keepdims=True) / n_real
+            ratio = (p_mask * mask).sum(axis=-1, keepdims=True) / n_real
             scale = (1.0 - _MASK_RATIO_TRAIN) / jnp.maximum(1.0 - ratio, 1e-6)
             emb = emb * scale[..., None]
 

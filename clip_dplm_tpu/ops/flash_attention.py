@@ -296,7 +296,6 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
-    interpret_pad: bool = False,
 ) -> jax.Array:
     """Flash attention over (B, H, S, Dh) with optional (B, S) key mask
     (True = real token). Pads S to the block size and Dh to the 128 lane

@@ -43,18 +43,28 @@ def effective_scale(
     return jnp.minimum(jnp.exp(logit_scale.astype(jnp.float32)), max_scale)
 
 
+NEG_INF = -1e30
+
+
 def _cross_entropy(
     logits: jax.Array, labels: jax.Array, label_smoothing: float = 0.0
 ) -> jax.Array:
-    """Per-row CE with optional label smoothing; fp32 logsumexp."""
+    """Per-row CE with optional label smoothing; fp32 logsumexp.
+
+    Smoothing mass is spread over the VALID columns only: columns masked to
+    -1e30 (the unfilled hard-negative cache tail) are excluded from both the
+    class count and the logit sum, so cache + smoothing compose correctly.
+    """
     logits = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     label_logit = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
     if label_smoothing > 0.0:
-        n = logits.shape[-1]
-        smooth = label_smoothing / (n - 1)
-        # sum_j target_j * logit_j = (1-s)*logit_y + s/(n-1)*(sum_j logit_j - logit_y)
-        mean_term = smooth * (jnp.sum(logits, axis=-1) - label_logit)
+        valid = logits > 0.5 * NEG_INF
+        n = jnp.sum(valid, axis=-1).astype(jnp.float32)
+        smooth = label_smoothing / jnp.maximum(n - 1.0, 1.0)
+        row_sum = jnp.sum(jnp.where(valid, logits, 0.0), axis=-1)
+        # sum_j target_j * logit_j = (1-s)*logit_y + s/(n-1)*(sum_valid logit_j - logit_y)
+        mean_term = smooth * (row_sum - label_logit)
         weighted = (1.0 - label_smoothing) * label_logit + mean_term
         return logz - weighted
     return logz - label_logit
@@ -179,6 +189,7 @@ def multiway_clip_loss(
     max_scale: float = 100.0,
     label_smoothing: float = 0.0,
     weights: Optional[Dict[Tuple[str, str], float]] = None,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Sum of pairwise symmetric InfoNCE over modality pairs.
 
@@ -187,6 +198,11 @@ def multiway_clip_loss(
     tong/utils/losses.py:34-54 (all present modality pairs). Pairs default to
     all unordered pairs of the given embeddings, skipping missing modalities
     exactly as the reference does.
+
+    `axis_name` (inside shard_map/pjit) switches every pair to the
+    global-batch formulation: embeddings are all-gathered over the mesh axis
+    before each B_g x B_g similarity — the reference gathers for *every* CLIP
+    variant (old/clip_opt.py:102-112), so the 3-way loss must too.
     """
     names = list(embeddings.keys())
     if pairs is None:
@@ -200,10 +216,17 @@ def multiway_clip_loss(
     for a_name, b_name in pairs:
         if a_name not in embeddings or b_name not in embeddings:
             continue
-        loss, m = clip_loss(
-            embeddings[a_name], embeddings[b_name], logit_scale,
-            label_smoothing=label_smoothing, max_scale=max_scale,
-        )
+        if axis_name is not None:
+            loss, m = global_clip_loss(
+                embeddings[a_name], embeddings[b_name], logit_scale,
+                axis_name=axis_name,
+                label_smoothing=label_smoothing, max_scale=max_scale,
+            )
+        else:
+            loss, m = clip_loss(
+                embeddings[a_name], embeddings[b_name], logit_scale,
+                label_smoothing=label_smoothing, max_scale=max_scale,
+            )
         w = 1.0 if weights is None else weights.get((a_name, b_name), 1.0)
         total = total + w * loss
         metrics[f"loss_{a_name}_{b_name}"] = loss

@@ -77,9 +77,20 @@ def replicated_sharding(ctx: MeshContext) -> NamedSharding:
 
 
 def shard_batch(ctx: MeshContext, batch):
-    """Device-put a host batch with the leading dim sharded over `data`."""
+    """Device-put a host batch with the leading dim sharded over `data`.
+
+    Leaves whose leading dim does not divide the data axis (e.g. the (2, E)
+    edge_index of graph batches) are replicated instead — XLA re-partitions
+    downstream as needed."""
     sh = batch_sharding(ctx)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    repl = replicated_sharding(ctx)
+    n = ctx.data_size
+
+    def put(x):
+        divisible = hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0
+        return jax.device_put(x, sh if divisible else repl)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def pad_to_multiple(n: int, m: int) -> int:

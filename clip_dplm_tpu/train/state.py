@@ -113,9 +113,17 @@ def create_train_state(
         rng = jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
     init_rng, state_rng = jax.random.split(rng)
     state_rng = jax.random.key_data(state_rng)
-    variables = model.init(
-        {"params": init_rng, "dropout": init_rng}, example_batch, deterministic=True
-    )
+    rngs = {"params": init_rng, "dropout": init_rng}
+    # per-family init signatures (registry ties model class to experiment):
+    # TripleFlowModel.__call__(key, batch, ...); DPLM.__call__(tokens, mask)
+    if cfg.experiment == "triple_flow":
+        variables = model.init(rngs, init_rng, example_batch, deterministic=True)
+    elif cfg.experiment == "dplm":
+        variables = model.init(
+            rngs, example_batch["tokens"], example_batch.get("mask")
+        )
+    else:
+        variables = model.init(rngs, example_batch, deterministic=True)
     params = variables["params"]
     if tx is None:
         tx = build_optimizer(cfg.train.optim)

@@ -27,8 +27,89 @@ from clip_dplm_tpu.parallel import MeshContext
 from clip_dplm_tpu.train.state import TrainState
 
 
-def _clip_loss_fn(cfg: Config):
+def _fused_ok() -> bool:
+    """Pallas InfoNCE compiles only for TPU; everywhere else (CPU CI mesh,
+    the virtual dryrun) fall back to the numerically identical XLA loss."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _pair_loss_fn(cfg: Config, ctx: Optional[MeshContext] = None):
+    """Loss for the emb_a/emb_b two-tower families (two_tower, rna_rbp,
+    esm_clip)."""
     cc = cfg.contrastive
+    use_fused = cc.use_fused_kernel and _fused_ok()
+
+    def contrastive(emb_a, emb_b, logit_scale, cache, cache_len):
+        if cc.loss_kind == "flatnce":
+            from clip_dplm_tpu.ops.loss_variants import flatnce_loss
+
+            return flatnce_loss(
+                emb_a, emb_b, logit_scale, max_scale=cc.logit_scale_max
+            )
+        if cc.loss_kind == "siglip":
+            from clip_dplm_tpu.ops.loss_variants import siglip_loss
+
+            return siglip_loss(
+                emb_a, emb_b, logit_scale, max_scale=cc.logit_scale_max
+            )
+        if use_fused:
+            from clip_dplm_tpu.ops.fused_infonce import fused_clip_loss
+
+            import functools
+
+            base = functools.partial(
+                fused_clip_loss,
+                max_scale=cc.logit_scale_max,
+                dot_dtype=jnp.bfloat16,
+                label_smoothing=cc.label_smoothing,
+            )
+            if ctx is not None and ctx.data_size > 1 and cc.gather_global_batch:
+                # explicit SPMD: rows stay local per chip (GSPMD can't
+                # partition the Pallas custom call on its own —
+                # old/clip_opt.py:102-112 semantics)
+                d = ctx.data_axis
+                if cc.use_cache:
+                    # cache columns require the gathered formulation
+                    fn = lambda a, b, ls, c, cl: base(
+                        a, b, ls, cache=c, cache_len=cl, axis_name=d)
+                    in_specs = (P(d), P(d), P(), P(), P())
+                    args = (emb_a, emb_b, logit_scale, cache, cache_len)
+                else:
+                    # ring schedule: column shards travel a ppermute ring and
+                    # ICI overlaps the kernel passes; no B_g x d gather buffer
+                    from clip_dplm_tpu.ops.fused_infonce import (
+                        ring_fused_clip_loss,
+                    )
+
+                    fn = lambda a, b, ls: ring_fused_clip_loss(
+                        a, b, ls, axis_name=d,
+                        max_scale=cc.logit_scale_max,
+                        dot_dtype=jnp.bfloat16,
+                        label_smoothing=cc.label_smoothing,
+                    )
+                    in_specs = (P(d), P(d), P())
+                    args = (emb_a, emb_b, logit_scale)
+                return jax.shard_map(
+                    fn, mesh=ctx.mesh, in_specs=in_specs, out_specs=(P(), P()),
+                    check_vma=False,  # pallas_call outputs carry no vma info
+                )(*args)
+            return base(
+                emb_a, emb_b, logit_scale,
+                cache=cache if cc.use_cache else None,
+                cache_len=cache_len if cc.use_cache else None,
+            )
+        return infonce.clip_loss(
+            emb_a,
+            emb_b,
+            logit_scale,
+            cache=cache if cc.use_cache else None,
+            cache_len=cache_len if cc.use_cache else None,
+            label_smoothing=cc.label_smoothing,
+            max_scale=cc.logit_scale_max,
+        )
 
     def loss_fn(params, apply_fn, batch, rng, cache, cache_len):
         out = apply_fn(
@@ -40,19 +121,7 @@ def _clip_loss_fn(cfg: Config):
             if cc.learned_temperature
             else jnp.log(1.0 / cc.temperature)
         )
-        if cc.loss_kind == "flatnce":
-            from clip_dplm_tpu.ops.loss_variants import flatnce_loss
-
-            loss, metrics = flatnce_loss(
-                emb_a, emb_b, logit_scale, max_scale=cc.logit_scale_max
-            )
-        elif cc.loss_kind == "siglip":
-            from clip_dplm_tpu.ops.loss_variants import siglip_loss
-
-            loss, metrics = siglip_loss(
-                emb_a, emb_b, logit_scale, max_scale=cc.logit_scale_max
-            )
-        elif cc.loss_kind == "supcon":
+        if cc.loss_kind == "supcon":
             from clip_dplm_tpu.ops.loss_variants import supcon_pair_loss
 
             if "labels" not in batch:
@@ -61,37 +130,96 @@ def _clip_loss_fn(cfg: Config):
                 emb_a, emb_b, batch["labels"], logit_scale,
                 max_scale=cc.logit_scale_max,
             )
-        elif cc.use_fused_kernel:
-            from clip_dplm_tpu.ops.fused_infonce import fused_clip_loss
-
-            loss, metrics = fused_clip_loss(
-                emb_a,
-                emb_b,
-                logit_scale,
-                cache=cache if cc.use_cache else None,
-                cache_len=cache_len if cc.use_cache else None,
-                max_scale=cc.logit_scale_max,
-                dot_dtype=jnp.bfloat16,
-            )
         else:
-            loss, metrics = infonce.clip_loss(
-                emb_a,
-                emb_b,
-                logit_scale,
-                cache=cache if cc.use_cache else None,
-                cache_len=cache_len if cc.use_cache else None,
-                label_smoothing=cc.label_smoothing,
-                max_scale=cc.logit_scale_max,
-            )
+            loss, metrics = contrastive(emb_a, emb_b, logit_scale, cache, cache_len)
         return loss, (metrics, infonce.l2_normalize(emb_b))
 
     return loss_fn
 
 
-def make_train_step(cfg: Config) -> Callable[[TrainState, Any], Tuple[TrainState, Dict]]:
+def _multiway_loss_fn(cfg: Config, ctx: Optional[MeshContext] = None):
+    """3-way TF CLIP loss (tf nb cell 41): sum of pairwise symmetric CEs over
+    cell/pert/protein embeddings. Under a sharded batch the global B x B
+    similarity is emitted by GSPMD automatically, matching the reference's
+    gather-for-every-variant (old/clip_opt.py:102-112)."""
+    cc = cfg.contrastive
+
+    def loss_fn(params, apply_fn, batch, rng, cache, cache_len):
+        del cache, cache_len
+        out = apply_fn(
+            {"params": params}, batch, deterministic=False, rngs={"dropout": rng}
+        )
+        embs = {
+            "cell": out["cell_embed"],
+            "pert": out["pert_embed"],
+            "protein": out["protein_embed"],
+        }
+        logit_scale = (
+            out["logit_scale"]
+            if cc.learned_temperature
+            else jnp.log(1.0 / cc.temperature)
+        )
+        loss, metrics = infonce.multiway_clip_loss(
+            embs, logit_scale,
+            label_smoothing=cc.label_smoothing, max_scale=cc.logit_scale_max,
+        )
+        return loss, (metrics, None)
+
+    return loss_fn
+
+
+def _triple_flow_loss_fn(cfg: Config, ctx: Optional[MeshContext] = None):
+    """Encoders + OT-CFM flows: compute_all_losses over the TripleFlowModel
+    outputs (tong/utils/losses.py:34-80 / triple_flow/5_training.py:265-279)."""
+    from clip_dplm_tpu.models.triple_flow_model import compute_all_losses
+
+    def loss_fn(params, apply_fn, batch, rng, cache, cache_len):
+        del cache, cache_len
+        drop_rng, flow_rng = jax.random.split(rng)
+        out = apply_fn(
+            {"params": params}, flow_rng, batch,
+            deterministic=False, rngs={"dropout": drop_rng},
+        )
+        loss, metrics = compute_all_losses(out, cfg)
+        return loss, (metrics, None)
+
+    return loss_fn
+
+
+def _dplm_loss_fn(cfg: Config, ctx: Optional[MeshContext] = None):
+    """Absorbing-state discrete-diffusion denoising loss (models/dplm.py)."""
+    from clip_dplm_tpu.models.dplm import diffusion_loss_from_apply
+
+    def loss_fn(params, apply_fn, batch, rng, cache, cache_len):
+        del cache, cache_len
+        loss, metrics = diffusion_loss_from_apply(
+            apply_fn, params, rng, batch["tokens"], batch.get("mask")
+        )
+        return loss, (metrics, None)
+
+    return loss_fn
+
+
+def make_loss_fn(cfg: Config, ctx: Optional[MeshContext] = None):
+    """Per-family loss adapter: every experiment family the registry ships
+    trains through the same (params, apply_fn, batch, rng, cache, cache_len)
+    -> (loss, (metrics, aux_emb)) signature."""
+    if cfg.experiment == "tf_clip":
+        return _multiway_loss_fn(cfg, ctx)
+    if cfg.experiment == "triple_flow":
+        return _triple_flow_loss_fn(cfg, ctx)
+    if cfg.experiment == "dplm":
+        return _dplm_loss_fn(cfg, ctx)
+    return _pair_loss_fn(cfg, ctx)
+
+
+def make_train_step(
+    cfg: Config, ctx: Optional[MeshContext] = None
+) -> Callable[[TrainState, Any], Tuple[TrainState, Dict]]:
     """Build the (un-jitted) train step; jit it with shardings via
-    `jit_train_step` or directly for single-device tests."""
-    loss_fn = _clip_loss_fn(cfg)
+    `jit_train_step` or directly for single-device tests. `ctx` enables
+    mesh-aware loss formulations (the shard_map fused-kernel path)."""
+    loss_fn = make_loss_fn(cfg, ctx)
     accum = cfg.train.optim.grad_accum_steps
     use_cache = cfg.contrastive.use_cache
 
@@ -119,23 +247,33 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Any], Tuple[TrainState
             def body(carry, xs):
                 grads_acc, loss_acc, metrics_acc = carry
                 mb, r = xs
-                (loss, (metrics, _)), grads = grad_fn(
+                (loss, (metrics, mb_b)), grads = grad_fn(
                     state.params, state.apply_fn, mb, r,
                     state.cache, state.cache_len,
                 )
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 metrics_acc = jax.tree_util.tree_map(jnp.add, metrics_acc, metrics)
-                return (grads_acc, loss_acc + loss, metrics_acc), None
+                # emit this microbatch's embeddings so the hard-negative cache
+                # sees the FULL batch (old/clip_opt.py:75-81 caches every batch)
+                return (grads_acc, loss_acc + loss, metrics_acc), mb_b
 
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
-            (_, (metrics0, new_b)), _ = grad_fn(
-                state.params, state.apply_fn, mb0, rngs[0],
+            # metric/grad zeros from abstract shapes — no extra forward pass
+            out_shapes = jax.eval_shape(
+                lambda p, mb, r, c, cl: grad_fn(p, state.apply_fn, mb, r, c, cl),
+                state.params,
+                jax.tree_util.tree_map(lambda x: x[0], micro), rngs[0],
                 state.cache, state.cache_len,
             )
-            zero_metrics = jax.tree_util.tree_map(jnp.zeros_like, metrics0)
-            (grads, loss, metrics), _ = jax.lax.scan(
+            zero_metrics = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), out_shapes[0][1][0]
+            )
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (grads, loss, metrics), micro_b = jax.lax.scan(
                 body, (zero_grads, jnp.zeros(()), zero_metrics), (micro, rngs)
+            )
+            new_b = (
+                None if micro_b is None
+                else micro_b.reshape((-1,) + micro_b.shape[2:])
             )
             inv = 1.0 / accum
             grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
@@ -143,7 +281,7 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Any], Tuple[TrainState
             metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
 
         new_state = state.apply_gradients(grads).replace(rng=new_rng)
-        if use_cache:
+        if use_cache and new_b is not None:
             cache, ptr, filled = infonce.update_cache(
                 state.cache, state.cache_ptr, new_b, state.cache_len
             )
@@ -157,10 +295,11 @@ def make_train_step(cfg: Config) -> Callable[[TrainState, Any], Tuple[TrainState
     return step
 
 
-def make_multi_train_step(cfg: Config, steps_per_call: int):
+def make_multi_train_step(cfg: Config, steps_per_call: int,
+                          ctx: Optional[MeshContext] = None):
     """Scan `steps_per_call` train steps inside one jit call over a stacked
     batch tree (leading dim = steps). Returns (state, metrics-of-last-step)."""
-    step = make_train_step(cfg)
+    step = make_train_step(cfg, ctx)
 
     def multi(state: TrainState, batches) -> Tuple[TrainState, Dict]:
         def body(s, b):
@@ -185,8 +324,9 @@ def optax_global_norm(tree) -> jax.Array:
 
 def make_eval_step(cfg: Config) -> Callable[[TrainState, Any], Dict]:
     cc = cfg.contrastive
+    rng_impl = cfg.train.rng_impl
 
-    def step(state: TrainState, batch) -> Dict:
+    def pair_step(state: TrainState, batch) -> Dict:
         out = state.apply_fn({"params": state.params}, batch, deterministic=True)
         logit_scale = (
             out["logit_scale"]
@@ -201,7 +341,57 @@ def make_eval_step(cfg: Config) -> Callable[[TrainState, Any], Dict]:
         metrics["loss"] = loss
         return metrics
 
-    return step
+    def multiway_step(state: TrainState, batch) -> Dict:
+        out = state.apply_fn({"params": state.params}, batch, deterministic=True)
+        embs = {
+            "cell": out["cell_embed"],
+            "pert": out["pert_embed"],
+            "protein": out["protein_embed"],
+        }
+        logit_scale = (
+            out["logit_scale"]
+            if cc.learned_temperature
+            else jnp.log(1.0 / cc.temperature)
+        )
+        loss, metrics = infonce.multiway_clip_loss(
+            embs, logit_scale, max_scale=cc.logit_scale_max
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    def triple_flow_step(state: TrainState, batch) -> Dict:
+        from clip_dplm_tpu.models.triple_flow_model import compute_all_losses
+
+        # eval is deterministic given the state: the CFM (t, noise) draw uses
+        # the state RNG without advancing it
+        key = jax.random.wrap_key_data(state.rng, impl=rng_impl)
+        out = state.apply_fn(
+            {"params": state.params}, key, batch, deterministic=True
+        )
+        loss, metrics = compute_all_losses(out, cfg)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    def dplm_step(state: TrainState, batch) -> Dict:
+        from clip_dplm_tpu.models.dplm import diffusion_loss_from_apply
+
+        key = jax.random.wrap_key_data(state.rng, impl=rng_impl)
+        loss, metrics = diffusion_loss_from_apply(
+            state.apply_fn, state.params, key, batch["tokens"], batch.get("mask")
+        )
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return metrics
+
+    if cfg.experiment == "tf_clip":
+        return multiway_step
+    if cfg.experiment == "triple_flow":
+        return triple_flow_step
+    if cfg.experiment == "dplm":
+        return dplm_step
+    return pair_step
 
 
 def jit_train_step(step_fn, ctx: MeshContext, state: TrainState,
@@ -217,14 +407,16 @@ def jit_train_step(step_fn, ctx: MeshContext, state: TrainState,
     from clip_dplm_tpu.parallel.mesh import TP_MIN_ELEMENTS, tp_leaf_spec
 
     me = TP_MIN_ELEMENTS if tp_min_elements is None else tp_min_elements
-    batch_sh = ctx.sharding(P(ctx.data_axis))
     repl = ctx.sharding(P())
     state_sh = jax.tree_util.tree_map(
         lambda leaf: ctx.sharding(tp_leaf_spec(leaf, ctx, me)), state
     )
+    # the batch keeps the committed shardings from parallel.shard_batch
+    # (leading dim over `data`; non-divisible leaves like graph edge_index
+    # replicated) — None lets jit inherit them instead of forcing one spec
     return jax.jit(
         step_fn,
-        in_shardings=(state_sh, batch_sh),
+        in_shardings=(state_sh, None),
         out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
@@ -236,11 +428,10 @@ def jit_eval_step(step_fn, ctx: MeshContext, state: TrainState,
 
     me = TP_MIN_ELEMENTS if tp_min_elements is None else tp_min_elements
     repl = ctx.sharding(P())
-    batch_sh = ctx.sharding(P(ctx.data_axis))
     state_sh = jax.tree_util.tree_map(
         lambda leaf: ctx.sharding(tp_leaf_spec(leaf, ctx, me)), state
     )
-    return jax.jit(step_fn, in_shardings=(state_sh, batch_sh), out_shardings=repl)
+    return jax.jit(step_fn, in_shardings=(state_sh, None), out_shardings=repl)
 
 
 class EarlyStopping:
@@ -284,9 +475,9 @@ class Trainer:
         self.log_fn = log_fn
         self.steps_per_call = max(1, cfg.train.steps_per_call)
         if self.steps_per_call > 1:
-            train_step = make_multi_train_step(cfg, self.steps_per_call)
+            train_step = make_multi_train_step(cfg, self.steps_per_call, ctx)
         else:
-            train_step = make_train_step(cfg)
+            train_step = make_train_step(cfg, ctx)
         eval_step = make_eval_step(cfg)
         if ctx is not None:
             self.train_step = jit_train_step(train_step, ctx, state)
@@ -335,9 +526,20 @@ class Trainer:
         and device_put on a background thread while the device runs the
         current step (data/prefetch.py)."""
         from clip_dplm_tpu.data.prefetch import DevicePrefetcher
-        from clip_dplm_tpu.parallel import batch_sharding
+        from clip_dplm_tpu.parallel import batch_sharding, replicated_sharding
 
-        sharding = batch_sharding(self.ctx) if self.ctx is not None else None
+        sharding = None
+        if self.ctx is not None:
+            data_sh = batch_sharding(self.ctx)
+            repl = replicated_sharding(self.ctx)
+            n = self.ctx.data_size
+            # same rule as parallel.shard_batch: replicate non-divisible
+            # leaves (graph edge_index etc.)
+            sharding = lambda x: (
+                data_sh
+                if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0
+                else repl
+            )
         return DevicePrefetcher(batches, sharding=sharding, depth=2)
 
     def train(

@@ -183,3 +183,53 @@ def test_dataloader_end_to_end_with_model(cells):
     out = model.apply(variables, jax.random.PRNGKey(2), batch)
     assert set(out["embeddings"]) == {"cell_emb", "pert_emb", "protein_emb"}
     assert np.isfinite(np.asarray(out["embeddings"]["cell_emb"])).all()
+
+
+def test_leiden_recovers_planted_communities():
+    """Three well-separated blobs -> leiden finds >= 3 clusters that refine
+    the planted partition, with modularity far above random labelings."""
+    from clip_dplm_tpu.data.cells import leiden_clusters, modularity
+
+    rng = np.random.default_rng(0)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    planted = np.repeat(np.arange(3), 40)
+    X = centers[planted] + 0.5 * rng.normal(size=(120, 2))
+    _, conn = knn_graph(X, n_neighbors=8)
+    labels = leiden_clusters(conn, seed=0)
+    # every found cluster lives inside one planted blob (refinement)
+    for c in np.unique(labels):
+        assert len(np.unique(planted[labels == c])) == 1
+    q = modularity(conn, labels)
+    q_rand = modularity(conn, rng.integers(0, labels.max() + 1, 120))
+    assert q > 0.5 and q > q_rand + 0.2
+
+
+def test_paga_connectivity_tracks_branch_topology():
+    """Linear chain of blobs A-B-C: PAGA connects adjacent blobs strongly and
+    the non-adjacent pair (A, C) weakly; disconnected components get 0."""
+    from clip_dplm_tpu.data.cells import paga_connectivities
+
+    rng = np.random.default_rng(1)
+    # chain: blobs at x = 0, 4, 8 (adjacent blobs touch; A-C never)
+    planted = np.repeat(np.arange(3), 50)
+    X = np.stack([4.0 * planted + 0.9 * rng.normal(size=150),
+                  0.4 * rng.normal(size=150)], axis=1)
+    _, conn = knn_graph(X.astype(np.float32), n_neighbors=10)
+    c = paga_connectivities(conn, planted.astype(np.int32))
+    assert c[0, 1] > c[0, 2] and c[1, 2] > c[0, 2]
+    np.testing.assert_allclose(np.diag(c), 0.0)
+    # two disconnected components -> zero cross connectivity
+    conn2 = np.zeros((20, 20), np.float32)
+    conn2[:10, :10] = 1.0
+    conn2[10:, 10:] = 1.0
+    np.fill_diagonal(conn2, 0.0)
+    c2 = paga_connectivities(conn2, np.repeat(np.arange(2), 10).astype(np.int32))
+    assert c2[0, 1] == 0.0
+
+
+def test_trajectory_info_includes_leiden_paga(cells):
+    assert "leiden" in cells.obs
+    paga = cells.uns["paga"]
+    k = int(cells.obs["leiden"].max()) + 1
+    assert paga["connectivities"].shape == (k, k)
+    assert (paga["connectivities"] >= 0).all() and (paga["connectivities"] <= 1).all()

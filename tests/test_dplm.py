@@ -186,3 +186,58 @@ def test_init_from_esm_checkpoint(rng):
     np.testing.assert_allclose(
         np.asarray(logits), expected, atol=1e-4, rtol=1e-4
     )
+
+
+def test_esm_tower_soft_path_matches_hard(rng):
+    """ESMTower(token_probs=one_hot(tokens)) == ESMTower(tokens) exactly (the
+    relaxation used by soft CLIP guidance is consistent at the corners)."""
+    from clip_dplm_tpu.config import ESMConfig
+    from clip_dplm_tpu.models.esm import ESMTower
+
+    cfg = ESMConfig(name="tiny", vocab_size=33, d_model=32, num_layers=2,
+                    num_heads=2, max_len=64, token_dropout=True)
+    tower = ESMTower(cfg=cfg, dtype=jnp.float32)
+    toks, valid = _tokens(rng, B=3, L=9)
+    # include a <mask> token so the token-dropout rescale path is exercised
+    toks = toks.at[0, 2].set(MASK_IDX)
+    params = tower.init(jax.random.PRNGKey(0), toks, valid)["params"]
+    hard = tower.apply({"params": params}, toks, valid, pooling="mean_residues")
+    probs = jax.nn.one_hot(toks, 33, dtype=jnp.float32)
+    soft = tower.apply({"params": params}, toks, valid,
+                       pooling="mean_residues", token_probs=probs)
+    np.testing.assert_allclose(np.asarray(soft), np.asarray(hard),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_soft_guidance_beats_rerank_at_equal_compute(rng):
+    """Per-step soft (gradient) guidance on a synthetic differentiable scorer
+    steers single chains above best-of-3 reranked unguided chains — the
+    guided chain spends ~1 extra scorer fwd+bwd per step, the reranker 3x the
+    sampler compute, so the comparison favors the reranker on raw FLOPs."""
+    from clip_dplm_tpu.models.guided_generation import make_soft_logit_bias_fn
+
+    model = tiny_dplm()
+    toks, valid = _tokens(rng)
+    params = model.init(jax.random.PRNGKey(0), toks, valid)["params"]
+    A = protein.TOKEN_TO_ID["A"]
+
+    def hard_score(tokens):
+        return (tokens == A).sum(axis=-1).astype(jnp.float32)
+
+    def soft_score(probs, tokens):
+        gen = (tokens != CLS_IDX) & (tokens != EOS_IDX)
+        return jnp.sum(probs[..., A] * gen, axis=-1)
+
+    bias_fn = make_soft_logit_bias_fn(soft_score, guidance_scale=20.0)
+    guided, _ = sample(model, params, jax.random.PRNGKey(7), 4, 10,
+                       logit_bias_fn=bias_fn)
+    reranked, _ = clip_guided_sample(
+        model, params, jax.random.PRNGKey(7), hard_score,
+        batch_size=4, length=10, num_candidates=3,
+    )
+    g = float(hard_score(guided).mean())
+    r = float(hard_score(reranked).mean())
+    assert g > r, (g, r)
+    # guided output is still a valid protein
+    inner = np.asarray(guided)[:, 1:-1]
+    assert ((inner >= RESIDUE_LO) & (inner <= RESIDUE_HI)).all()

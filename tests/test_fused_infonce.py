@@ -120,3 +120,102 @@ def test_non_square_and_offset_labels(rng):
     with pltpu.force_tpu_interpret_mode():
         got = float(fused_row_ce(x, y, scale, labels))
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_label_smoothing_matches_reference(rng):
+    """Fused smoothing adjustment == the XLA smoothed CE, loss and grads."""
+    a, b = _pair(rng, B=48, D=24)
+    ls = jnp.asarray(np.float32(2.0))
+    s = 0.1
+
+    def ref(a, b, ls):
+        loss, _ = infonce.clip_loss(a, b, ls, label_smoothing=s)
+        return loss
+
+    def fused(a, b, ls):
+        loss, _ = fused_clip_loss(a, b, ls, label_smoothing=s)
+        return loss
+
+    with pltpu.force_tpu_interpret_mode():
+        np.testing.assert_allclose(
+            float(fused(a, b, ls)), float(ref(a, b, ls)), rtol=1e-5
+        )
+        g_f = jax.grad(fused, argnums=(0, 1, 2))(a, b, ls)
+    g_r = jax.grad(ref, argnums=(0, 1, 2))(a, b, ls)
+    for gr, gf, name in zip(g_r, g_f, ["da", "db", "dls"]):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=1e-5, rtol=1e-4,
+            err_msg=f"{name} mismatch",
+        )
+
+
+def test_label_smoothing_with_cache_matches_reference(rng):
+    """Smoothing mass spreads over the VALID cache columns only, identically
+    in the fused and XLA formulations."""
+    a, b = _pair(rng, B=32, D=16)
+    cache = infonce.l2_normalize(
+        jnp.asarray(rng.normal(size=(48, 16)).astype(np.float32)))
+    cache_len = jnp.int32(20)
+    ls = jnp.asarray(np.float32(2.0))
+    s = 0.1
+
+    ref_loss, _ = infonce.clip_loss(
+        a, b, ls, cache=cache, cache_len=cache_len, label_smoothing=s)
+    with pltpu.force_tpu_interpret_mode():
+        loss, _ = fused_clip_loss(
+            a, b, ls, cache=cache, cache_len=cache_len, label_smoothing=s)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+
+def test_ring_fused_matches_local(mesh8, rng):
+    """Ring-scheduled global loss (column shards + stats on a ppermute ring,
+    no gathered B_g x d buffer) == full-batch local loss, value and grads."""
+    from clip_dplm_tpu.ops.fused_infonce import ring_fused_clip_loss
+
+    a, b = _pair(rng, B=64, D=32)
+    ls = jnp.asarray(np.float32(1.7))
+
+    def ref(a, b, ls):
+        loss, _ = infonce.clip_loss(a, b, ls)
+        return loss
+
+    def ring(a, b, ls):
+        def inner(a_l, b_l, s):
+            loss, _ = ring_fused_clip_loss(a_l, b_l, s, axis_name="data")
+            return loss
+
+        return jax.shard_map(
+            inner, mesh=mesh8.mesh, in_specs=(P("data"), P("data"), P()),
+            out_specs=P(), check_vma=False,
+        )(a, b, ls)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = float(ring(a, b, ls))
+        g_ring = jax.grad(ring, argnums=(0, 1, 2))(a, b, ls)
+    np.testing.assert_allclose(got, float(ref(a, b, ls)), rtol=1e-5)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(a, b, ls)
+    for gr, gf, name in zip(g_ref, g_ring, ["da", "db", "dls"]):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=1e-5, rtol=1e-4,
+            err_msg=f"{name} mismatch",
+        )
+
+
+def test_ring_fused_label_smoothing_matches_reference(mesh8, rng):
+    from clip_dplm_tpu.ops.fused_infonce import ring_fused_clip_loss
+
+    a, b = _pair(rng, B=32, D=16)
+    ls = jnp.asarray(np.float32(2.0))
+    ref_loss, _ = infonce.clip_loss(a, b, ls, label_smoothing=0.1)
+
+    def inner(a_l, b_l):
+        loss, _ = ring_fused_clip_loss(
+            a_l, b_l, ls, axis_name="data", label_smoothing=0.1)
+        return loss
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.shard_map(
+            inner, mesh=mesh8.mesh, in_specs=(P("data"), P("data")),
+            out_specs=P(), check_vma=False,
+        )(a, b)
+    np.testing.assert_allclose(float(got), float(ref_loss), rtol=1e-5)

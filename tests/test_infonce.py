@@ -134,3 +134,43 @@ def test_l2_normalize():
     z = infonce.l2_normalize(x)
     np.testing.assert_allclose(np.asarray(z[0]), [0.6, 0.8], rtol=1e-6)
     assert np.all(np.isfinite(np.asarray(z)))  # zero vector stays finite
+
+
+def test_multiway_global_matches_local(mesh8, rng):
+    """multiway_clip_loss(axis_name=...) inside shard_map == the full-batch
+    local 3-way loss (the reference gathers for every CLIP variant,
+    old/clip_opt.py:102-112)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    embs = {
+        "cell": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)),
+        "pert": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)),
+        "protein": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)),
+    }
+    ls = jnp.asarray(np.float32(2.0))
+    from clip_dplm_tpu.ops.infonce import multiway_clip_loss
+    ref, _ = multiway_clip_loss(embs, ls)
+
+    def f(e):
+        loss, _ = multiway_clip_loss(e, ls, axis_name="data")
+        return loss
+
+    got = jax.shard_map(
+        f, mesh=mesh8.mesh,
+        in_specs=({"cell": P("data"), "pert": P("data"), "protein": P("data")},),
+        out_specs=P(),
+    )(embs)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_cross_entropy_smoothing_ignores_masked_columns(rng):
+    """Label smoothing must spread only over valid (non -1e30) columns:
+    appending fully-masked columns leaves the smoothed CE unchanged."""
+    logits = jnp.asarray(rng.normal(size=(8, 12)).astype(np.float32))
+    labels = jnp.arange(8, dtype=jnp.int32)
+    base = infonce._cross_entropy(logits, labels, label_smoothing=0.1)
+    padded = jnp.concatenate(
+        [logits, jnp.full((8, 5), -1e30, jnp.float32)], axis=1)
+    got = infonce._cross_entropy(padded, labels, label_smoothing=0.1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), rtol=1e-5)

@@ -213,3 +213,60 @@ def test_multi_step_trainer_matches_single(mesh8):
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_grad_accum_cache_sees_full_batch():
+    """With grad_accum_steps=2 the hard-negative cache must ingest EVERY
+    microbatch's embeddings (old/clip_opt.py:75-81 caches every batch), not
+    just microbatch 0."""
+    cfg = small_cfg(**{
+        "train.optim.grad_accum_steps": 2,
+        "contrastive.use_cache": "true", "contrastive.cache_size": 128,
+    })
+    model = TwoTowerCLIP(cfg=cfg)
+    batch = _strip_labels(make_batch(cfg, n=64))
+    state = create_train_state(model, cfg, batch)
+    state, m = jax.jit(make_train_step(cfg))(state, batch)
+    assert int(state.cache_len) == 64  # full batch, not 32
+    # the cached rows are normalized emb_b of the respective microbatches
+    out0 = model.apply(
+        {"params": state.params}, {k: v[:32] for k, v in batch.items()},
+        deterministic=True,
+    )
+    assert np.isfinite(np.asarray(state.cache[:64])).all()
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_trainer_fused_global_shard_map_path(mesh8, monkeypatch):
+    """use_fused_kernel + multi-device mesh routes the loss through the
+    shard_map(axis_name) fused kernel; in interpret mode on the CPU mesh the
+    loss matches the XLA global formulation."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from clip_dplm_tpu.train import trainer as trainer_mod
+
+    cfg_fused = small_cfg(**{"contrastive.use_fused_kernel": "true",
+                             "projection.dropout": 0.0, "tower_a.dropout": 0.0,
+                             "tower_b.dropout": 0.0})
+    cfg_xla = small_cfg(**{"projection.dropout": 0.0, "tower_a.dropout": 0.0,
+                           "tower_b.dropout": 0.0})
+    model = TwoTowerCLIP(cfg=cfg_fused)
+    batch = _strip_labels(make_batch(cfg_fused, n=64))
+    state = create_train_state(model, cfg_fused, batch)
+
+    monkeypatch.setattr(trainer_mod, "_fused_ok", lambda: True)
+    step_fused = make_train_step(cfg_fused, mesh8)
+    step_xla = make_train_step(cfg_xla, mesh8)
+    from clip_dplm_tpu.parallel import shard_batch
+
+    sb = shard_batch(mesh8, batch)
+    # jit_train_step donates the state: give each call its own copy
+    state_b = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, "copy") else x, state)
+    with pltpu.force_tpu_interpret_mode():
+        _, m_fused = jit_train_step(step_fused, mesh8, state)(state, sb)
+    _, m_xla = jit_train_step(step_xla, mesh8, state_b)(state_b, sb)
+    # trainer's fused path computes the similarity dot in bf16 (dot_dtype);
+    # the XLA path is fp32 — tolerance covers the bf16 rounding only
+    np.testing.assert_allclose(
+        float(m_fused["loss"]), float(m_xla["loss"]), rtol=1e-3)
