@@ -61,8 +61,112 @@ def two_tower_step_flops(cfg, batch: int) -> float:
     return 3.0 * fwd
 
 
+def token_clip_step_flops(cfg, B: int, sa: int, sb: int) -> float:
+    """Analytic matmul FLOPs (fwd+bwd ~= 3x fwd) for the RNA<->RBP token
+    transformer CLIP step. Standard model-FLOPs accounting: flash attention's
+    backward recompute is NOT credited."""
+
+    def tower(tc, S, extra_cls=1):
+        S = S + extra_cls
+        f = 2.0 * B * S * tc.input_dim * tc.d_model  # input proj
+        per_layer = 24.0 * B * S * tc.d_model**2 + 4.0 * B * S * S * tc.d_model
+        return f + tc.num_layers * per_layer
+
+    def proj(in_dim, pcfg):
+        hidden = pcfg.hidden_dim or 4 * pcfg.dim
+        f = 2.0 * B * pcfg.dim * in_dim
+        f += 2.0 * B * (hidden * in_dim + hidden * hidden + pcfg.dim * hidden)
+        return f
+
+    fwd = tower(cfg.rna_tower, sa) + tower(cfg.rbp_tower, sb)
+    fwd += proj(cfg.rna_tower.d_model, cfg.projection)
+    fwd += proj(cfg.rbp_tower.d_model, cfg.projection)
+    fwd += 2.0 * B * B * cfg.projection.dim
+    return 3.0 * fwd
+
+
+def run_flagship(iters_env: str = "BENCH_ITERS") -> None:
+    """Second tracked benchmark (BENCH_MODEL=rna_rbp): the flagship token
+    transformer (reference 71.6M-param class, rna nb cell 28/29 hot path)
+    with flash attention on."""
+    import os
+
+    from clip_dplm_tpu.config import Config, apply_overrides
+    from clip_dplm_tpu.models.token_towers import RNARBPCLIP
+    from clip_dplm_tpu.train import create_train_state, make_train_step
+
+    B = int(os.environ.get("BENCH_B", 512))
+    sa, sb = 128, 128
+    cfg = apply_overrides(
+        Config(),
+        [
+            "experiment=rna_rbp",
+            "rna_tower.input_dim=120", "rna_tower.d_model=512",
+            "rna_tower.num_layers=3", "rna_tower.num_heads=8",
+            f"rna_tower.max_len={sa + 1}",
+            "rbp_tower.input_dim=1280", "rbp_tower.d_model=512",
+            "rbp_tower.num_layers=3", "rbp_tower.num_heads=8",
+            f"rbp_tower.max_len={sb + 1}",
+            "projection.dim=512",
+            f"train.batch_size={B}",
+            "train.optim.total_steps=1000",
+            "train.optim.moment_dtype=bfloat16",
+            "contrastive.use_fused_kernel=true",
+            "train.rng_impl=unsafe_rbg",
+        ],
+    )
+    model = RNARBPCLIP(cfg=cfg)
+    rng = np.random.default_rng(0)
+    la = rng.integers(sa // 2, sa, B)
+    lb = rng.integers(sb // 2, sb, B)
+    batch = {
+        "rna_tokens": jnp.asarray(
+            rng.normal(size=(B, sa, 120)).astype(np.float32)),
+        "rna_mask": jnp.asarray(np.arange(sa)[None, :] < la[:, None]),
+        "rbp_tokens": jnp.asarray(
+            rng.normal(size=(B, sb, 1280)).astype(np.float32)),
+        "rbp_mask": jnp.asarray(np.arange(sb)[None, :] < lb[:, None]),
+    }
+    state = create_train_state(model, cfg, batch)
+    step = make_train_step(cfg)
+    iters = int(os.environ.get(iters_env, 50))
+
+    @jax.jit
+    def multi_step(state, batch):
+        def body(s, _):
+            s, metrics = step(s, batch)
+            return s, metrics["loss"]
+        state, losses = jax.lax.scan(body, state, None, length=iters)
+        return state, losses[-1]
+
+    state, loss = multi_step(state, batch)
+    float(loss)
+    t0 = time.perf_counter()
+    state, loss = multi_step(state, batch)
+    assert np.isfinite(float(loss))
+    dt = (time.perf_counter() - t0) / iters
+
+    n_chips = max(1, len(jax.devices()))
+    flops_per_sec = token_clip_step_flops(cfg, B, sa, sb) / dt / n_chips
+    roofline = 0.95 * chip_peak_flops()
+    print(
+        json.dumps(
+            {
+                "metric": "rna_rbp_pairs_per_sec_per_chip",
+                "value": round(B / dt / n_chips, 2),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(flops_per_sec / roofline, 4),
+            }
+        )
+    )
+
+
 def main() -> None:
     import os
+
+    if os.environ.get("BENCH_MODEL", "two_tower") == "rna_rbp":
+        run_flagship()
+        return
 
     from clip_dplm_tpu.config import Config, apply_overrides
     from clip_dplm_tpu.models import TwoTowerCLIP
@@ -85,6 +189,8 @@ def main() -> None:
             "contrastive.use_fused_kernel=true",
             # hardware RNG for dropout masks: threefry bit-gen costs ~4ms/step
             "train.rng_impl=unsafe_rbg",
+            # bf16 Adam moments halve optimizer HBM traffic (-0.5 ms/step)
+            "train.optim.moment_dtype=bfloat16",
         ],
     )
     model = TwoTowerCLIP(cfg=cfg)

@@ -72,6 +72,9 @@ class ContrastiveConfig:
     use_cache: bool = False
     gather_global_batch: bool = True  # all-gather embeddings over the mesh
     use_fused_kernel: bool = False  # Pallas fused InfoNCE (ops/fused_infonce.py)
+    # materialize the raw similarity (int16 fixed-point) in the fused forward
+    # so the backward skips its recompute matmuls: "auto" | "always" | "never"
+    fused_materialize_raw: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -107,6 +110,43 @@ class ESMConfig:
     max_len: int = 1024
     token_dropout: bool = True
     layer_norm_eps: float = 1e-5  # facebook/esm2 checkpoints use 1e-5
+    frozen: bool = True
+
+
+@dataclass(frozen=True)
+class ProtT5Config:
+    """ProtT5 encoder (T5 v1.0 stack; old/encoders.py:15-31 loads
+    Rostlab/prot_t5_xl_half_uniref50-enc). Defaults are the xl (t5-3b
+    encoder-half) geometry; see models/t5.py::prot_t5_config_from_name."""
+
+    name: str = "prot_t5_xl"
+    vocab_size: int = 128
+    d_model: int = 1024
+    d_ff: int = 16384
+    num_layers: int = 24
+    num_heads: int = 32
+    d_kv: int = 128
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    layer_norm_eps: float = 1e-6
+    frozen: bool = True
+
+
+@dataclass(frozen=True)
+class RNABertConfig:
+    """RNABERT-compatible RNA base encoder (old/encoders.py:53-74 shelled out
+    to the external repo for these 120-dim embeddings; rna nb cell 28 consumes
+    them as input_dim=120). Defaults are the published RNABERT geometry."""
+
+    name: str = "rnabert"
+    vocab_size: int = 9
+    d_model: int = 120
+    num_layers: int = 6
+    num_heads: int = 12
+    d_ff: int = 40
+    max_len: int = 440
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
     frozen: bool = True
 
 
@@ -220,9 +260,16 @@ class OptimConfig:
     min_lr_ratio: float = 0.0
     grad_clip_norm: float = 1.0
     grad_accum_steps: int = 1  # real (lax.scan microbatches), unlike the ref
-    # dtype of Adam's first moment (bfloat16 halves optimizer HBM traffic;
-    # the second moment stays fp32 for numerical range)
+    # dtype of Adam's moments under fused_update (bfloat16 halves optimizer
+    # HBM traffic; measured -0.5 ms/step at 20M params on v5e)
     moment_dtype: str = "float32"
+    # single-pass AdamW with the global-norm clip folded in (train/state.py);
+    # false falls back to optax.chain(clip_by_global_norm, adamw)
+    fused_update: bool = True
+    # "exact": clip with this step's global norm (torch semantics);
+    # "stale": clip with the previous step's norm — removes the all-gradients
+    # reduction barrier before the optimizer kernels (~0.4 ms at 20M on v5e)
+    clip_mode: str = "exact"
 
 
 @dataclass(frozen=True)

@@ -12,6 +12,8 @@ from clip_dplm_tpu.models.layers import (  # noqa: F401
 from clip_dplm_tpu.models.clip import TwoTowerCLIP  # noqa: F401
 from clip_dplm_tpu.models.token_towers import RNARBPCLIP, TokenTransformerTower  # noqa: F401
 from clip_dplm_tpu.models.esm import ESMTower, convert_esm_torch_params  # noqa: F401
+from clip_dplm_tpu.models.t5 import ProtT5Tower, convert_t5_torch_params  # noqa: F401
+from clip_dplm_tpu.models.rnabert import RNABertTower, convert_bert_torch_params  # noqa: F401
 from clip_dplm_tpu.models.protein_clip import ESMProteinCLIP  # noqa: F401
 from clip_dplm_tpu.models.tf_clip import TFContrastiveModel  # noqa: F401
 from clip_dplm_tpu.models.gnn import MultiLayerPiGNN, PiGNNLayer  # noqa: F401

@@ -332,6 +332,16 @@ def _smoothing_adjustment(
     return jnp.mean(adj)
 
 
+def _resolve_materialize(materialize_raw, rows: int, cols: int) -> bool:
+    """'auto' materializes while the int16 raw buffer stays under
+    MATERIALIZE_BYTES_LIMIT; 'always'/'never' (or booleans) force it."""
+    if materialize_raw == "auto":
+        return rows * cols * 2 <= MATERIALIZE_BYTES_LIMIT
+    if isinstance(materialize_raw, str):
+        return materialize_raw == "always"
+    return bool(materialize_raw)
+
+
 def fused_clip_loss(
     emb_a: jax.Array,
     emb_b: jax.Array,
@@ -342,6 +352,7 @@ def fused_clip_loss(
     axis_name: Optional[str] = None,
     dot_dtype=None,
     label_smoothing: float = 0.0,
+    materialize_raw="auto",
 ) -> Tuple[jax.Array, dict]:
     """Drop-in fused replacement for infonce.clip_loss / global_clip_loss.
 
@@ -375,7 +386,8 @@ def fused_clip_loss(
         cols_b_a_dir = cols_b
 
     if axis_name is None and cache is None:
-        loss = fused_symmetric_infonce(a, b, scale, dot_dtype)
+        mat = _resolve_materialize(materialize_raw, a.shape[0], b.shape[0])
+        loss = fused_symmetric_infonce(a, b, scale, dot_dtype, mat)
         if label_smoothing > 0.0:
             loss = loss + 0.5 * (
                 _smoothing_adjustment(a, b, scale, labels, label_smoothing)
@@ -407,6 +419,159 @@ def fused_clip_loss(
 #   db = (scale/2B) (P_a^T + P_b) a - (scale/B) a     (one blockwise pass)
 # so fwd+bwd costs 6 B x B matmul passes instead of 10 (two independent
 # fused_row_ce calls) — measured 1.5x on v5e at B=16k.
+#
+# `materialize_raw` trades O(B^2) bf16 HBM for the backward's raw recompute:
+# the forward writes its raw tiles out once and both backward passes stream
+# them back in (DMA overlaps the contraction matmul), so fwd+bwd does exactly
+# the 6 B^2 d matmul FLOPs of the ideal formulation instead of 10 (the two
+# recompute matmuls disappear). At B=8192 the buffer is 128 MB; "auto"
+# materializes while rows*cols*2 bytes <= MATERIALIZE_BYTES_LIMIT.
+
+MATERIALIZE_BYTES_LIMIT = 640 * 1024 * 1024
+
+
+# Materialized raw is stored as int16 fixed-point: cosines of (bf16-rounded)
+# L2-normalized vectors are bounded by ~1.008, so q = round(raw * RAW_QSCALE)
+# covers the range with absolute error ~3e-5 — an order of magnitude tighter
+# than bf16 at the same 2 bytes/element, keeping backward parity with the
+# recompute path at ~1e-4.
+RAW_QSCALE = 32767.0 / 1.01
+
+
+def _sym_grad_raw_kernel(raw_ref, y_ref, scale_ref, colmask_ref, lse_row_ref,
+                         lse_col_ref, dx_ref, rowdot_ref, acc_scr, dot_scr,
+                         *, nn: int):
+    """Pass-A backward from materialized raw: accumulates
+    (P_row + P_colT) @ y and rowsum(p*raw) over the inner column axis —
+    `_sym_grad_kernel` minus the raw recompute matmul (the DMA of the int16
+    tile overlaps the contraction)."""
+    jn = pl.program_id(1)
+
+    @pl.when(jn == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        dot_scr[:] = jnp.zeros_like(dot_scr)
+
+    raw = raw_ref[:].astype(jnp.float32) * (1.0 / RAW_QSCALE)
+    y = y_ref[:]
+    scale = scale_ref[0, 0]
+    colmask = colmask_ref[0]  # (1, bn)
+    lse_row = lse_row_ref[:]  # (bm, 1)
+    lse_col = lse_col_ref[0]  # (1, bn)
+
+    s = raw * scale + colmask
+    p = jnp.exp(s - lse_row) + jnp.exp(s - lse_col)
+    acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+        p.astype(y.dtype), y, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dot_scr[:] = dot_scr[:] + jnp.sum(p * raw, axis=-1, keepdims=True)
+
+    @pl.when(jn == nn - 1)
+    def _():
+        dx_ref[:] = acc_scr[:].astype(dx_ref.dtype)
+        rowdot_ref[:] = dot_scr[:, 0:1]
+
+
+def _sym_grad_rawT_kernel(raw_ref, x_ref, scale_ref, rowmask_ref, lse_row_ref,
+                          lse_col_ref, dy_ref, acc_scr, *, nm: int):
+    """Pass-B backward from materialized raw: accumulates the transposed
+    contraction (P_row + P_colT)^T @ x over the inner ROW axis, reading the
+    same (i, j) raw tiles — no transpose and no recompute. The rowmask zeroes
+    padded rows exactly (their zero x rows would otherwise meet inf from
+    exp(-lse) when lse is very negative, producing NaN in the contraction)."""
+    im = pl.program_id(1)
+
+    @pl.when(im == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    raw = raw_ref[:].astype(jnp.float32) * (1.0 / RAW_QSCALE)  # (bm, bn)
+    x = x_ref[:]  # (bm, d)
+    scale = scale_ref[0, 0]
+    rowmask = rowmask_ref[0]  # (1, bm)
+    lse_row = lse_row_ref[:]  # (bm, 1)
+    lse_col = lse_col_ref[0]  # (1, bn)
+
+    s = raw * scale + rowmask.reshape(-1, 1)[: raw.shape[0]]
+    p = jnp.exp(s - lse_row) + jnp.exp(s - lse_col)
+    acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+        p.astype(x.dtype), x, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, d)
+
+    @pl.when(im == nm - 1)
+    def _():
+        dy_ref[:] = acc_scr[:].astype(dy_ref.dtype)
+
+
+def _sym_grad_passes_from_raw(raw_q, a, b, scale, lse_row, lse_col,
+                              dot_dtype=None,
+                              block_m: int = BLOCK_M, block_n: int = BLOCK_N):
+    """Both symmetric backward contractions from the materialized raw tiles:
+    returns (acc_a (m,d), rowdot (m,1), acc_b (n,d)). raw_q is the padded
+    (mp, np_) int16 buffer written by the forward."""
+    m, d = a.shape
+    n = b.shape[0]
+    block_m = min(block_m, _round_up(m, 8))
+    block_n = min(block_n, _round_up(n, 128))
+    mp, np_ = raw_q.shape
+    ap = jnp.pad(a, ((0, mp - m), (0, 0))) if mp != m else a
+    bp = jnp.pad(b, ((0, np_ - n), (0, 0))) if np_ != n else b
+    if dot_dtype is not None:
+        ap, bp = ap.astype(dot_dtype), bp.astype(dot_dtype)
+    lse_row_p = jnp.pad(lse_row, ((0, mp - m), (0, 0)), constant_values=-NEG_INF)
+    lse_col_p = jnp.pad(lse_col[:, 0], (0, np_ - n), constant_values=-NEG_INF)
+    lse_col_p = lse_col_p[None, None, :]
+    colmask = jnp.where(jnp.arange(np_)[None, :] < n, 0.0, NEG_INF).astype(
+        jnp.float32)[None]
+    rowmask = jnp.where(jnp.arange(mp)[None, :] < m, 0.0, NEG_INF).astype(
+        jnp.float32)[None]
+    scale2d = scale.reshape(1, 1).astype(jnp.float32)
+    nm, nn = mp // block_m, np_ // block_n
+
+    acc_a, rowdot = pl.pallas_call(
+        functools.partial(_sym_grad_raw_kernel, nn=nn),
+        grid=(nm, nn),
+        in_specs=[
+            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_n), lambda i, j: (0, 0, j)),
+            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, block_n), lambda i, j: (0, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, d), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_m, d), jnp.float32),
+            pltpu.VMEM((block_m, 128), jnp.float32),
+        ],
+    )(raw_q, bp, scale2d, colmask, lse_row_p, lse_col_p)
+
+    acc_b = pl.pallas_call(
+        functools.partial(_sym_grad_rawT_kernel, nm=nm),
+        grid=(nn, nm),
+        in_specs=[
+            pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
+            pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_m), lambda j, i: (0, 0, i)),
+            pl.BlockSpec((block_m, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((1, 1, block_n), lambda j, i: (0, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_n, d), lambda j, i: (j, 0)),
+        out_shape=jax.ShapeDtypeStruct((np_, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_n, d), jnp.float32)],
+    )(raw_q, ap, scale2d, rowmask, lse_row_p, lse_col_p)
+
+    return acc_a[:m], rowdot[:m], acc_b[:n]
 
 
 def _sym_grad_kernel(x_ref, y_ref, scale_ref, colmask_ref, lse_row_ref,
@@ -499,29 +664,42 @@ def _sym_grad_pass(x, y, scale, lse_row, lse_col, dot_dtype=None,
     return acc[:m], rowdot[:m]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_symmetric_infonce(a, b, scale, dot_dtype=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_symmetric_infonce(a, b, scale, dot_dtype=None,
+                            materialize_raw: bool = False):
     """0.5 * (row-CE(scale*a b^T, diag) + row-CE(scale*b a^T, diag)) with a
-    6-pass fwd+bwd (see header above). a, b must be L2-normalized."""
-    loss, _ = _sym_fwd(a, b, scale, dot_dtype)
+    6-pass fwd+bwd (see header above). a, b must be L2-normalized.
+
+    `materialize_raw` stores the forward's raw tiles (int16 fixed-point,
+    O(B^2) HBM) so the backward skips both recompute matmuls."""
+    loss, _ = _sym_fwd(a, b, scale, dot_dtype, materialize_raw)
     return loss
 
 
-def _sym_fwd(a, b, scale, dot_dtype):
+def _sym_fwd(a, b, scale, dot_dtype, materialize_raw=False):
     # one shared-raw pass: row lse of scale*a b^T and its column lse
     # (== row lse of scale*b a^T)
-    lse_a, lse_b = _sym_row_col_lse(a, b, scale, dot_dtype=dot_dtype)
+    if materialize_raw:
+        lse_a, lse_b, raw_q = _sym_row_col_lse(
+            a, b, scale, dot_dtype=dot_dtype, save_raw=True)
+    else:
+        lse_a, lse_b = _sym_row_col_lse(a, b, scale, dot_dtype=dot_dtype)
+        raw_q = None
     diag = jnp.sum(a * b, axis=-1, keepdims=True)  # (B,1)
     loss = 0.5 * (jnp.mean(lse_a - scale * diag) + jnp.mean(lse_b - scale * diag))
-    return loss, (a, b, scale, lse_a, lse_b, diag)
+    return loss, (a, b, scale, lse_a, lse_b, diag, raw_q)
 
 
-def _sym_bwd(dot_dtype, res, g):
-    a, b, scale, lse_a, lse_b, diag = res
+def _sym_bwd(dot_dtype, materialize_raw, res, g):
+    a, b, scale, lse_a, lse_b, diag, raw_q = res
     B = a.shape[0]
     coef = g / B
-    acc_a, rowdot = _sym_grad_pass(a, b, scale, lse_a, lse_b, dot_dtype)
-    acc_b, _ = _sym_grad_pass(b, a, scale, lse_b, lse_a, dot_dtype)
+    if materialize_raw:
+        acc_a, rowdot, acc_b = _sym_grad_passes_from_raw(
+            raw_q, a, b, scale, lse_a, lse_b, dot_dtype)
+    else:
+        acc_a, rowdot = _sym_grad_pass(a, b, scale, lse_a, lse_b, dot_dtype)
+        acc_b, _ = _sym_grad_pass(b, a, scale, lse_b, lse_a, dot_dtype)
     da = 0.5 * coef * scale * acc_a - coef * scale * b
     db = 0.5 * coef * scale * acc_b - coef * scale * a
     dscale = 0.5 * coef * jnp.sum(rowdot) - coef * jnp.sum(diag)
@@ -682,9 +860,9 @@ def ring_fused_clip_loss(
 # Cuts the symmetric forward from 2 full matmul passes to 1.
 
 
-def _sym_lse_kernel(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
-                    row_lse_ref, colmax_ref, colsum_ref, m_scr, l_scr,
-                    *, nn: int):
+def _sym_lse_impl(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
+                  row_lse_ref, colmax_ref, colsum_ref, raw_ref, m_scr, l_scr,
+                  *, nn: int):
     """Single-exp tile: the forward is VPU-bound (one matmul vs the exp
     traffic), so the column statistics are DERIVED from the row-shifted
     probabilities instead of a second exp:
@@ -695,6 +873,9 @@ def _sym_lse_kernel(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
 
     e_i <= 1 by construction (no overflow); cold/padded rows underflow to 0
     exactly like fp32 softmax. Measured 1.5x on the forward pass on v5e.
+
+    `raw_ref` (optional): int16 fixed-point copy of the raw tile for the
+    materialized backward (see RAW_QSCALE).
     """
     jn = pl.program_id(1)
 
@@ -712,6 +893,8 @@ def _sym_lse_kernel(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
     raw = jax.lax.dot_general(
         x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if raw_ref is not None:
+        raw_ref[:] = jnp.round(raw * RAW_QSCALE).astype(jnp.int16)
     s = raw * scale + colmask
 
     # row stats (online logsumexp over the column grid axis)
@@ -737,9 +920,27 @@ def _sym_lse_kernel(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
     colsum_ref[0] = p_c
 
 
+def _sym_lse_kernel(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
+                    row_lse_ref, colmax_ref, colsum_ref, m_scr, l_scr,
+                    *, nn: int):
+    _sym_lse_impl(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
+                  row_lse_ref, colmax_ref, colsum_ref, None, m_scr, l_scr,
+                  nn=nn)
+
+
+def _sym_lse_save_kernel(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
+                         row_lse_ref, colmax_ref, colsum_ref, raw_ref,
+                         m_scr, l_scr, *, nn: int):
+    _sym_lse_impl(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
+                  row_lse_ref, colmax_ref, colsum_ref, raw_ref, m_scr, l_scr,
+                  nn=nn)
+
+
 def _sym_row_col_lse(x, y, scale, dot_dtype=None,
-                     block_m: int = BLOCK_M, block_n: int = BLOCK_N):
-    """One pass over scale * x y^T returning (row_lse (m,1), col_lse (n,1))."""
+                     block_m: int = BLOCK_M, block_n: int = BLOCK_N,
+                     save_raw: bool = False):
+    """One pass over scale * x y^T returning (row_lse (m,1), col_lse (n,1)),
+    plus the padded (mp, np_) int16 raw buffer when `save_raw`."""
     m, d = x.shape
     n = y.shape[0]
     block_m = min(block_m, _round_up(m, 8))
@@ -756,8 +957,24 @@ def _sym_row_col_lse(x, y, scale, dot_dtype=None,
     scale2d = scale.reshape(1, 1).astype(jnp.float32)
     nm, nn = mp // block_m, np_ // block_n
 
-    row_lse, colmax, colsum = pl.pallas_call(
-        functools.partial(_sym_lse_kernel, nn=nn),
+    out_specs = [
+        pl.BlockSpec((block_m, 1), lambda i, j: (i, 0)),
+        pl.BlockSpec((1, 1, block_n), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((1, 1, block_n), lambda i, j: (i, 0, j)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((nm, 1, np_), jnp.float32),
+        jax.ShapeDtypeStruct((nm, 1, np_), jnp.float32),
+    ]
+    kernel = _sym_lse_kernel
+    if save_raw:
+        out_specs.append(pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)))
+        out_shape.append(jax.ShapeDtypeStruct((mp, np_), jnp.int16))
+        kernel = _sym_lse_save_kernel
+
+    outs = pl.pallas_call(
+        functools.partial(kernel, nn=nn),
         grid=(nm, nn),
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
@@ -766,23 +983,18 @@ def _sym_row_col_lse(x, y, scale, dot_dtype=None,
             pl.BlockSpec((1, 1, block_n), lambda i, j: (0, 0, j)),
             pl.BlockSpec((1, 1, block_m), lambda i, j: (0, 0, i)),
         ],
-        out_specs=[
-            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, 1, block_n), lambda i, j: (i, 0, j)),
-            pl.BlockSpec((1, 1, block_n), lambda i, j: (i, 0, j)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nm, 1, np_), jnp.float32),
-            jax.ShapeDtypeStruct((nm, 1, np_), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_m, 128), jnp.float32),
             pltpu.VMEM((block_m, 128), jnp.float32),
         ],
     )(xp, yp, scale2d, colmask, rowmask)
+    row_lse, colmax, colsum = outs[:3]
 
     # exact combine of the nm column partials
     log_part = colmax[:, 0, :] + jnp.log(jnp.maximum(colsum[:, 0, :], 1e-30))
     col_lse = jax.nn.logsumexp(log_part, axis=0)[:, None]  # (np_, 1)
+    if save_raw:
+        return row_lse[:m], col_lse[:n], outs[3]
     return row_lse[:m], col_lse[:n]

@@ -65,6 +65,7 @@ def _pair_loss_fn(cfg: Config, ctx: Optional[MeshContext] = None):
                 max_scale=cc.logit_scale_max,
                 dot_dtype=jnp.bfloat16,
                 label_smoothing=cc.label_smoothing,
+                materialize_raw=cc.fused_materialize_raw,
             )
             if ctx is not None and ctx.data_size > 1 and cc.gather_global_batch:
                 # explicit SPMD: rows stay local per chip (GSPMD can't

@@ -219,3 +219,30 @@ def test_ring_fused_label_smoothing_matches_reference(mesh8, rng):
             out_specs=P(), check_vma=False,
         )(a, b)
     np.testing.assert_allclose(float(got), float(ref_loss), rtol=1e-5)
+
+
+def test_materialized_raw_matches_recompute(rng):
+    """The int16 materialized-raw backward (skips both recompute matmuls)
+    must agree with the recompute backward to fixed-point precision
+    (RAW_QSCALE abs error ~1.5e-5 on cosines -> ~1e-4 on gradients)."""
+    from clip_dplm_tpu.ops.fused_infonce import fused_symmetric_infonce
+
+    # non-multiple of the block sizes to exercise the padded raw tiles
+    a, b = _pair(rng, B=200, D=48)
+    a, b = infonce.l2_normalize(a), infonce.l2_normalize(b)
+    scale = jnp.float32(np.exp(2.6592))
+
+    def f(mat):
+        def loss(a, b, s):
+            return fused_symmetric_infonce(a, b, s, None, mat)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(a, b, scale)
+
+    with pltpu.force_tpu_interpret_mode():
+        (l0, g0) = f(False)
+        (l1, g1) = f(True)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for x0, x1, name in zip(g0, g1, ["da", "db", "dscale"]):
+        np.testing.assert_allclose(
+            np.asarray(x1), np.asarray(x0), atol=2e-4, rtol=1e-3,
+            err_msg=f"{name} materialized mismatch",
+        )

@@ -270,3 +270,36 @@ def test_trainer_fused_global_shard_map_path(mesh8, monkeypatch):
     # the XLA path is fp32 — tolerance covers the bf16 rounding only
     np.testing.assert_allclose(
         float(m_fused["loss"]), float(m_xla["loss"]), rtol=1e-3)
+
+
+def test_fused_adamw_matches_optax_chain(rng):
+    """fused_adamw (single-pass update with folded-in global-norm clip) must
+    reproduce optax.chain(clip_by_global_norm, adamw) trajectories exactly."""
+    import optax
+
+    from clip_dplm_tpu.train.state import build_optimizer, fused_adamw
+    from clip_dplm_tpu.config import OptimConfig
+
+    cfg = OptimConfig(learning_rate=3e-3, warmup_steps=2, total_steps=10,
+                      grad_clip_norm=0.5, weight_decay=0.01)
+    params = {
+        "w": jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(8,)).astype(np.float32)),
+    }
+    import dataclasses
+    tx_f = build_optimizer(cfg)  # fused_update default
+    tx_c = build_optimizer(dataclasses.replace(cfg, fused_update=False))
+    p_f, p_c = params, params
+    s_f, s_c = tx_f.init(params), tx_c.init(params)
+    for i in range(6):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.sin(p * (i + 1.0)) * (3.0 if i % 2 else 0.1), params)
+        u_f, s_f = tx_f.update(g, s_f, p_f)
+        u_c, s_c = tx_c.update(g, s_c, p_c)
+        p_f = optax.apply_updates(p_f, u_f)
+        p_c = optax.apply_updates(p_c, u_c)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(p_f[k]), np.asarray(p_c[k]), rtol=2e-6, atol=1e-7,
+            err_msg=f"param {k} diverged between fused and chain optimizers",
+        )
