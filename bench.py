@@ -95,8 +95,10 @@ def run_flagship(iters_env: str = "BENCH_ITERS") -> None:
     from clip_dplm_tpu.models.token_towers import RNARBPCLIP
     from clip_dplm_tpu.train import create_train_state, make_train_step
 
-    B = int(os.environ.get("BENCH_B", 512))
-    sa, sb = 128, 128
+    B = int(os.environ.get("BENCH_B", 1024))
+    # 127 tokens + CLS = 128: keeps every (B*S, d) matmul and the attention
+    # tiles lane-aligned (129-row tiles cost ~12% on the MXU)
+    sa, sb = 127, 127
     cfg = apply_overrides(
         Config(),
         [
@@ -107,6 +109,7 @@ def run_flagship(iters_env: str = "BENCH_ITERS") -> None:
             "rbp_tower.input_dim=1280", "rbp_tower.d_model=512",
             "rbp_tower.num_layers=3", "rbp_tower.num_heads=8",
             f"rbp_tower.max_len={sb + 1}",
+            "train.optim.fused_update=true",
             "projection.dim=512",
             f"train.batch_size={B}",
             "train.optim.total_steps=1000",

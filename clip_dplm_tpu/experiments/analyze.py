@@ -66,6 +66,16 @@ def main(argv=None) -> dict:
             k: float(v)
             for k, v in retrieval_metrics(emb_a, emb_b).items()
         },
+    }
+    # hard-negative cache stats when the checkpoint carries a filled cache
+    # (proposal.MD:21-23 hit-rate analysis; the ring buffer rides TrainState)
+    cache_len = int(np.asarray(state.cache_len))
+    if cfg.contrastive.use_cache and cache_len > 0:
+        from clip_dplm_tpu.train.analysis import hard_negative_cache_stats
+
+        report["cache_stats"] = hard_negative_cache_stats(
+            emb_a, emb_b, np.asarray(state.cache, np.float32), cache_len)
+    report |= {
         "distributions": analyze_embedding_distributions(
             {"tower_a": emb_a, "tower_b": emb_b}
         ),

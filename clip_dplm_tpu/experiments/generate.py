@@ -62,6 +62,12 @@ def main(argv=None):
             print(f"warm-started trunk from {args.esm_init}")
 
     key = jax.random.PRNGKey(args.seed)
+    if bool(args.condition) != bool(args.scorer_bundle):
+        import warnings
+
+        warnings.warn(
+            "--condition and --scorer-bundle must be given together; "
+            "falling back to UNGUIDED sampling", stacklevel=1)
     if args.condition and args.scorer_bundle:
         from clip_dplm_tpu.models.esm import ESMTower
         from clip_dplm_tpu.models.guided_generation import (

@@ -59,7 +59,12 @@ def rotary_embed(x: jax.Array, positions: jax.Array) -> jax.Array:
 
 
 class EsmBlock(nn.Module):
-    """Pre-LN transformer block with rotary q/k (ESM-2 layer semantics)."""
+    """Pre-LN transformer block with rotary q/k (ESM-2 layer semantics).
+
+    `seq_axis`: mesh axis name for sequence parallelism — attention routes
+    through the ring flash kernel (ops/ring_attention.py) with K/V shards
+    travelling the ICI ring; every other op is per-token and needs nothing.
+    """
 
     d_model: int
     num_heads: int
@@ -67,6 +72,7 @@ class EsmBlock(nn.Module):
     ln_eps: float = 1e-5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, positions):
@@ -89,7 +95,12 @@ class EsmBlock(nn.Module):
         qh, kh, vh = heads(q), heads(k), heads(v)
         qh = rotary_embed(qh, positions)
         kh = rotary_embed(kh, positions)
-        attn = attention_dispatch(qh, kh, vh, mask=mask)
+        if self.seq_axis is not None:
+            from clip_dplm_tpu.ops.ring_attention import ring_flash_attention
+
+            attn = ring_flash_attention(qh, kh, vh, self.seq_axis, mask=mask)
+        else:
+            attn = attention_dispatch(qh, kh, vh, mask=mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, self.d_model)
         attn = nn.Dense(self.d_model, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="out")(attn)
@@ -117,6 +128,11 @@ class ESMTower(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     remat: bool = False
+    # mesh axis for sequence parallelism: call inside shard_map with tokens
+    # sharded (B, S_local); rotary positions, token-dropout statistics and
+    # mean pooling are made global via axis_index/psum, attention rides the
+    # ring kernel. Long-context scale-out beyond the reference.
+    seq_axis: Optional[str] = None
 
     MASK_IDX: int = 32
     CLS_IDX: int = 0
@@ -161,8 +177,12 @@ class ESMTower(nn.Module):
                 # one-hot limit, smooth in between)
                 mask_row = embed(jnp.full((), self.MASK_IDX)).astype(jnp.float32)
                 emb = emb - p_mask[..., None] * mask_row
-            n_real = jnp.maximum(mask.sum(axis=-1, keepdims=True), 1)
-            ratio = (p_mask * mask).sum(axis=-1, keepdims=True) / n_real
+            _gsum = (
+                (lambda x: jax.lax.psum(x, self.seq_axis))
+                if self.seq_axis is not None else (lambda x: x)
+            )
+            n_real = jnp.maximum(_gsum(mask.sum(axis=-1, keepdims=True)), 1)
+            ratio = _gsum((p_mask * mask).sum(axis=-1, keepdims=True)) / n_real
             scale = (1.0 - _MASK_RATIO_TRAIN) / jnp.maximum(1.0 - ratio, 1e-6)
             emb = emb * scale[..., None]
 
@@ -170,6 +190,8 @@ class ESMTower(nn.Module):
         emb = jnp.where(mask[..., None], emb, 0.0)
         h = emb.astype(self.dtype)
         positions = jnp.arange(S)
+        if self.seq_axis is not None:
+            positions = positions + jax.lax.axis_index(self.seq_axis) * S
 
         block = EsmBlock
         if self.remat:
@@ -179,6 +201,7 @@ class ESMTower(nn.Module):
                 d_model=c.d_model, num_heads=c.num_heads,
                 ln_eps=c.layer_norm_eps,
                 dtype=self.dtype, param_dtype=self.param_dtype,
+                seq_axis=self.seq_axis,
                 name=f"layer_{i}",
             )(h, mask, positions)
 
@@ -192,7 +215,11 @@ class ESMTower(nn.Module):
             # representations[33] mean over positions 1..L)
             residue = mask & (tokens != self.CLS_IDX) & (tokens != self.EOS_IDX)
             w = residue[..., None].astype(h.dtype)
-            return (h * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1.0)
+            sums, counts = (h * w).sum(axis=1), w.sum(axis=1)
+            if self.seq_axis is not None:
+                sums = jax.lax.psum(sums, self.seq_axis)
+                counts = jax.lax.psum(counts, self.seq_axis)
+            return sums / jnp.maximum(counts, 1.0)
         if pooling == "cls":
             return h[:, 0]
         raise ValueError(f"unknown pooling {pooling!r}")

@@ -326,6 +326,7 @@ def optax_global_norm(tree) -> jax.Array:
 def make_eval_step(cfg: Config) -> Callable[[TrainState, Any], Dict]:
     cc = cfg.contrastive
     rng_impl = cfg.train.rng_impl
+    eval_fused = cc.use_fused_kernel and _fused_ok()
 
     def pair_step(state: TrainState, batch) -> Dict:
         out = state.apply_fn({"params": state.params}, batch, deterministic=True)
@@ -334,10 +335,21 @@ def make_eval_step(cfg: Config) -> Callable[[TrainState, Any], Dict]:
             if cc.learned_temperature
             else jnp.log(1.0 / cc.temperature)
         )
-        loss, metrics = infonce.clip_loss(
-            out["emb_a"], out["emb_b"], logit_scale,
-            label_smoothing=0.0, max_scale=cc.logit_scale_max,
-        )
+        if eval_fused:
+            # same kernel as training (numerically equal to the XLA loss;
+            # keeps the eval CLIs on the fused path on TPU)
+            from clip_dplm_tpu.ops.fused_infonce import fused_clip_loss
+
+            loss, metrics = fused_clip_loss(
+                out["emb_a"], out["emb_b"], logit_scale,
+                max_scale=cc.logit_scale_max, dot_dtype=jnp.bfloat16,
+                materialize_raw=False,
+            )
+        else:
+            loss, metrics = infonce.clip_loss(
+                out["emb_a"], out["emb_b"], logit_scale,
+                label_smoothing=0.0, max_scale=cc.logit_scale_max,
+            )
         metrics = dict(metrics)
         metrics["loss"] = loss
         return metrics

@@ -1,5 +1,6 @@
 import jax
 import numpy as np
+import pytest
 
 from clip_dplm_tpu.config import Config, apply_overrides
 from clip_dplm_tpu.data import PairedEmbeddingDataset
@@ -8,6 +9,7 @@ from clip_dplm_tpu.train import create_train_state, make_train_step
 from clip_dplm_tpu.train.checkpoint import CheckpointManager
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip(tmp_path):
     cfg = apply_overrides(
         Config(),

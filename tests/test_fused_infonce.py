@@ -82,6 +82,7 @@ def test_global_shard_map_matches_local(mesh8, rng):
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_global_shard_map_gradients(mesh8, rng):
     a, b = _pair(rng, B=64, D=32)
     ls = jnp.asarray(np.float32(1.5))
@@ -167,6 +168,7 @@ def test_label_smoothing_with_cache_matches_reference(rng):
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_ring_fused_matches_local(mesh8, rng):
     """Ring-scheduled global loss (column shards + stats on a ppermute ring,
     no gathered B_g x d buffer) == full-batch local loss, value and grads."""

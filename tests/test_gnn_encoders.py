@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clip_dplm_tpu.config import Config, EncoderConfig, GNNConfig, apply_overrides
 from clip_dplm_tpu.models.gnn import MultiLayerPiGNN
@@ -139,6 +140,7 @@ def test_multiway_loss_skips_missing_modalities(rng):
     assert set(k for k in metrics if k.startswith("loss_")) == {"loss_cell_protein"}
 
 
+@pytest.mark.slow
 def test_tf_contrastive_model_trains(rng):
     cfg = apply_overrides(
         Config(),

@@ -136,6 +136,7 @@ def test_l2_normalize():
     assert np.all(np.isfinite(np.asarray(z)))  # zero vector stays finite
 
 
+@pytest.mark.slow
 def test_multiway_global_matches_local(mesh8, rng):
     """multiway_clip_loss(axis_name=...) inside shard_map == the full-batch
     local 3-way loss (the reference gathers for every CLIP variant,

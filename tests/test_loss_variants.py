@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clip_dplm_tpu.ops.infonce import clip_loss
 from clip_dplm_tpu.ops.loss_variants import (
@@ -65,6 +66,7 @@ def test_siglip_perfect_alignment_low_loss(rng):
     assert float(m1["accuracy"]) == 1.0
 
 
+@pytest.mark.slow
 def test_loss_kind_selector_in_trainer(rng):
     """contrastive.loss_kind routes the train step to each variant."""
     import jax

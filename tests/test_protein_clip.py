@@ -4,6 +4,7 @@ frozen stop-gradient mode."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clip_dplm_tpu.config import Config, apply_overrides
 from clip_dplm_tpu.data import protein
@@ -39,6 +40,7 @@ def make_batch(rng, B=8):
     }
 
 
+@pytest.mark.slow
 def test_forward_and_train_step(rng):
     cfg = tiny_cfg()
     model = ESMProteinCLIP(cfg=cfg)

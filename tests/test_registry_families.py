@@ -50,6 +50,7 @@ FAMILY_OVERRIDES = {
 }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("family", sorted(FAMILY_OVERRIDES))
 def test_family_trains_one_step(family):
     cfg = apply_overrides(

@@ -4,6 +4,7 @@ the single-device result."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from clip_dplm_tpu.config import Config, apply_overrides
@@ -38,6 +39,7 @@ def test_tp_leaf_spec_rules():
     assert tp_leaf_spec(odd, ctx) == P()
 
 
+@pytest.mark.slow
 def test_dp_tp_step_matches_single_device(rng):
     cfg = _cfg()
     model = TwoTowerCLIP(cfg=cfg)

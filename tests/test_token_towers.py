@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clip_dplm_tpu.config import Config, apply_overrides
 from clip_dplm_tpu.data.collate import (
@@ -63,6 +64,7 @@ def test_tower_mask_invariance(rng):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_rna_rbp_training_learns():
     cfg = small_cfg()
     model = RNARBPCLIP(cfg=cfg)

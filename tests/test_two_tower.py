@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clip_dplm_tpu.config import Config, apply_overrides
 from clip_dplm_tpu.data import PairedEmbeddingDataset
@@ -144,6 +145,7 @@ def test_cache_path_runs():
     assert np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
 def test_trainer_loop_and_early_stopping(tmp_path, mesh8):
     cfg = small_cfg(**{"train.early_stopping_patience": 2})
     model = TwoTowerCLIP(cfg=cfg)
@@ -237,6 +239,7 @@ def test_grad_accum_cache_sees_full_batch():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_trainer_fused_global_shard_map_path(mesh8, monkeypatch):
     """use_fused_kernel + multi-device mesh routes the loss through the
     shard_map(axis_name) fused kernel; in interpret mode on the CPU mesh the
