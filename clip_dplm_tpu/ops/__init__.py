@@ -8,3 +8,4 @@ from clip_dplm_tpu.ops.infonce import (  # noqa: F401
     l2_normalize,
     similarity_logits,
 )
+from clip_dplm_tpu.ops.ring_attention import ring_flash_attention  # noqa: F401

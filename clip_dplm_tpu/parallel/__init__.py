@@ -5,3 +5,7 @@ from clip_dplm_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from clip_dplm_tpu.parallel.pipeline import (  # noqa: F401
+    pipeline_apply,
+    stack_layer_params,
+)
