@@ -142,3 +142,45 @@ def make_esm_embed_fn(esm_tower, variables, max_len: int = 1024):
         )
 
     return embed
+
+
+def make_prot_t5_embed_fn(t5_tower, variables, max_len: int = 1024):
+    """Bind a ProtT5Tower (models/t5.py) into an embed_fn — the native
+    replacement for the reference's ProtT5EncodingModule pipeline
+    (old/encoders.py:15-31): UZOB->X tokenize -> mean-residue pool."""
+    import jax.numpy as jnp
+
+    from clip_dplm_tpu.data.protein import tokenize_prot_t5_batch
+
+    def embed(seqs):
+        toks, mask = tokenize_prot_t5_batch(seqs, max_len=max_len)
+        return np.asarray(
+            t5_tower.apply(
+                variables, jnp.asarray(toks), jnp.asarray(mask),
+                pooling="mean_residues",
+            )
+        )
+
+    return embed
+
+
+def make_rnabert_embed_fn(rnabert_tower, variables, max_len: int = 440,
+                          pooling: str = "tokens"):
+    """Bind an RNABertTower (models/rnabert.py) into an embedding fn for RNA
+    motifs — the native replacement for the reference's RNABERT shell-out
+    (old/encoders.py:53-74). pooling="tokens" returns (B, S, 120) per-base
+    embeddings (the RNA token-tower input contract), "mean" one vector."""
+    import jax.numpy as jnp
+
+    from clip_dplm_tpu.models.rnabert import tokenize_rna_batch
+
+    def embed(seqs):
+        toks, mask = tokenize_rna_batch(seqs, max_len=max_len)
+        return np.asarray(
+            rnabert_tower.apply(
+                variables, jnp.asarray(toks), jnp.asarray(mask),
+                pooling=pooling,
+            )
+        )
+
+    return embed

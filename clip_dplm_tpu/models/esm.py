@@ -39,6 +39,12 @@ ESM2_SIZES = {
     "esm2_t12_35M": dict(num_layers=12, d_model=480, num_heads=20),
     "esm2_t30_150M": dict(num_layers=30, d_model=640, num_heads=20),
     "esm2_t33_650M": dict(num_layers=33, d_model=1280, num_heads=20),
+    # named by the reference's config (triple_flow/1_config.py:152-183) but
+    # never run there (single GPU); here they shard via TP (tp_leaf_spec),
+    # sequence parallelism (seq_axis ring attention) and the GPipe pipeline
+    # (parallel/pipeline.py + stack_layer_params over the layer_i params)
+    "esm2_t36_3B": dict(num_layers=36, d_model=2560, num_heads=40),
+    "esm2_t48_15B": dict(num_layers=48, d_model=5120, num_heads=40),
 }
 
 
