@@ -145,30 +145,43 @@ class ESMTower(nn.Module):
     EOS_IDX: int = 2
     PAD_IDX: int = 1
 
-    @nn.compact
-    def __call__(
-        self,
-        tokens: jax.Array,
-        mask: Optional[jax.Array] = None,
-        pooling: str = "tokens",
-        token_probs: Optional[jax.Array] = None,
-    ) -> jax.Array:
-        """`token_probs` (B, S, vocab): optional soft token distributions; the
-        embedding lookup becomes probs @ table (differentiable w.r.t. probs —
-        the relaxation behind soft CLIP guidance of the DPLM sampler). Exactly
-        equals the hard path when probs is one-hot(tokens). `tokens` still
-        supplies special-token positions for masking/pooling."""
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(
+            c.vocab_size, c.d_model, param_dtype=self.param_dtype,
+            name="embed_tokens")
+        block = EsmBlock
+        if self.remat:
+            block = nn.remat(EsmBlock, static_argnums=())
+        self.blocks = [
+            block(
+                d_model=c.d_model, num_heads=c.num_heads,
+                ln_eps=c.layer_norm_eps,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                seq_axis=self.seq_axis,
+                name=f"layer_{i}",
+            )
+            for i in range(c.num_layers)
+        ]
+        self.final_ln = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=jnp.float32,
+            param_dtype=self.param_dtype, name="final_ln")
+
+    def embed(self, tokens, mask=None, token_probs=None):
+        """Everything before the block stack: token embedding (hard or soft),
+        token-dropout rescaling, pad zeroing, rotary positions. Returns
+        (h, mask, positions) — exposed so the GPipe driver
+        (pipelined_esm_apply) can run the trunk stage-parallel."""
         c = self.cfg
         B, S = tokens.shape
         if mask is None:
             mask = tokens != self.PAD_IDX
 
-        embed = nn.Embed(c.vocab_size, c.d_model, param_dtype=self.param_dtype,
-                         name="embed_tokens")
         if token_probs is None:
-            emb = embed(tokens).astype(jnp.float32)
+            emb = self.embed_tokens(tokens).astype(jnp.float32)
         else:
-            table = embed(jnp.arange(c.vocab_size)).astype(jnp.float32)
+            table = self.embed_tokens(
+                jnp.arange(c.vocab_size)).astype(jnp.float32)
             emb = token_probs.astype(jnp.float32) @ table
 
         if c.token_dropout:
@@ -181,7 +194,8 @@ class ESMTower(nn.Module):
                 p_mask = token_probs[..., self.MASK_IDX].astype(jnp.float32)
                 # subtract the expected <mask> contribution (== zeroing in the
                 # one-hot limit, smooth in between)
-                mask_row = embed(jnp.full((), self.MASK_IDX)).astype(jnp.float32)
+                mask_row = self.embed_tokens(
+                    jnp.full((), self.MASK_IDX)).astype(jnp.float32)
                 emb = emb - p_mask[..., None] * mask_row
             _gsum = (
                 (lambda x: jax.lax.psum(x, self.seq_axis))
@@ -198,22 +212,13 @@ class ESMTower(nn.Module):
         positions = jnp.arange(S)
         if self.seq_axis is not None:
             positions = positions + jax.lax.axis_index(self.seq_axis) * S
+        return h, mask, positions
 
-        block = EsmBlock
-        if self.remat:
-            block = nn.remat(EsmBlock, static_argnums=())
-        for i in range(c.num_layers):
-            h = block(
-                d_model=c.d_model, num_heads=c.num_heads,
-                ln_eps=c.layer_norm_eps,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                seq_axis=self.seq_axis,
-                name=f"layer_{i}",
-            )(h, mask, positions)
-
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
-                         param_dtype=self.param_dtype, name="final_ln")(h)
-
+    def head(self, h, tokens, mask=None, pooling: str = "tokens"):
+        """Final LayerNorm + pooling (the post-trunk stage)."""
+        if mask is None:
+            mask = tokens != self.PAD_IDX
+        h = self.final_ln(h)
         if pooling == "tokens":
             return h
         if pooling == "mean_residues":
@@ -230,10 +235,90 @@ class ESMTower(nn.Module):
             return h[:, 0]
         raise ValueError(f"unknown pooling {pooling!r}")
 
+    def __call__(
+        self,
+        tokens: jax.Array,
+        mask: Optional[jax.Array] = None,
+        pooling: str = "tokens",
+        token_probs: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """`token_probs` (B, S, vocab): optional soft token distributions; the
+        embedding lookup becomes probs @ table (differentiable w.r.t. probs —
+        the relaxation behind soft CLIP guidance of the DPLM sampler). Exactly
+        equals the hard path when probs is one-hot(tokens). `tokens` still
+        supplies special-token positions for masking/pooling."""
+        h, mask, positions = self.embed(tokens, mask, token_probs)
+        for block in self.blocks:
+            h = block(h, mask, positions)
+        return self.head(h, tokens, mask, pooling)
+
 
 def esm_config_from_name(name: str, **overrides) -> ESMConfig:
     geom = ESM2_SIZES[name]
     return ESMConfig(name=name, **{**geom, **overrides})
+
+
+def pipelined_esm_apply(
+    cfg: ESMConfig,
+    params,
+    tokens: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    mesh,
+    pipe_axis: str = "model",
+    num_microbatches: Optional[int] = None,
+    pooling: str = "mean_residues",
+    dtype: Any = jnp.bfloat16,
+    param_dtype: Any = jnp.float32,
+) -> jax.Array:
+    """ESM forward with the block trunk pipelined over `pipe_axis` — the run
+    path for the esm2_t36_3B / t48_15B presets whose trunk does not fit one
+    chip. Embedding and head run replicated on every stage (tiny vs the
+    trunk); the L blocks are stacked on a leading layer axis, sharded over
+    the pipe axis, and microbatches stream through the GPipe ring
+    (parallel/pipeline.py). Verified equal to the plain tower
+    (tests/test_pipeline.py::test_pipelined_esm_apply_matches_tower).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from clip_dplm_tpu.parallel.pipeline import (
+        pipeline_apply,
+        stack_layer_params,
+    )
+
+    tower = ESMTower(cfg=cfg, dtype=dtype, param_dtype=param_dtype)
+    stacked = stack_layer_params(params, cfg.num_layers)
+    block_mod = EsmBlock(
+        d_model=cfg.d_model, num_heads=cfg.num_heads,
+        ln_eps=cfg.layer_norm_eps, dtype=dtype, param_dtype=param_dtype)
+    B, S = tokens.shape
+    n_stages = mesh.shape[pipe_axis]
+    M = num_microbatches or n_stages
+    if B % M:
+        raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    if mask is None:
+        mask = tokens != ESMTower.PAD_IDX
+
+    def block_fn(p_i, carry):
+        h, m, pos = carry
+        return (block_mod.apply({"params": p_i}, h, m, pos), m, pos)
+
+    def inner(stacked_l, toks_r, mask_r):
+        h, m2, pos = tower.apply(
+            {"params": params}, toks_r, mask_r, method="embed")
+        resh = lambda x: x.reshape((M, B // M) + x.shape[1:])
+        x_micro = (resh(h), resh(m2),
+                   jnp.broadcast_to(pos, (M,) + pos.shape))
+        ys = pipeline_apply(block_fn, stacked_l, x_micro, axis_name=pipe_axis)
+        h_out = ys[0].reshape((B,) + ys[0].shape[2:])
+        return tower.apply(
+            {"params": params}, h_out, toks_r, mask_r, pooling, method="head")
+
+    return jax.jit(jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(pipe_axis), P(), P()),
+        out_specs=P(), check_vma=False,
+    ))(stacked, tokens, mask)
 
 
 # ---------------------------------------------------------------------------

@@ -102,3 +102,29 @@ def test_pipelined_esm_blocks_match_sequential(rng):
 
     np.testing.assert_allclose(
         np.asarray(got[0][0]), np.asarray(sequential()), atol=1e-5, rtol=1e-4)
+
+
+def test_pipelined_esm_apply_matches_tower(rng):
+    """Full-tower GPipe run path (embed replicated, trunk pipelined, head
+    replicated) == the plain ESMTower, mean-residue pooled."""
+    from clip_dplm_tpu.config import ESMConfig
+    from clip_dplm_tpu.data import protein
+    from clip_dplm_tpu.models.esm import ESMTower, pipelined_esm_apply
+
+    cfg = ESMConfig(name="tiny", vocab_size=33, d_model=32, num_layers=4,
+                    num_heads=4, max_len=32, token_dropout=True)
+    seqs = [protein.random_protein(rng, 20) for _ in range(8)]
+    toks, mask = protein.tokenize_batch(seqs, pad_multiple=8)
+    toks, mask = jnp.asarray(toks), jnp.asarray(mask)
+
+    tower = ESMTower(cfg=cfg, dtype=jnp.float32)
+    params = tower.init(jax.random.key(0), toks, mask)["params"]
+    want = tower.apply({"params": params}, toks, mask,
+                       pooling="mean_residues")
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    got = pipelined_esm_apply(
+        cfg, params, toks, mask, mesh=mesh, pipe_axis="pipe",
+        num_microbatches=4, pooling="mean_residues", dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
