@@ -116,7 +116,8 @@ def run_flagship(iters_env: str = "BENCH_ITERS") -> None:
             "train.optim.moment_dtype=bfloat16",
             "contrastive.use_fused_kernel=true",
             "train.rng_impl=unsafe_rbg",
-        ],
+        ]
+        + _extra_overrides(),
     )
     model = RNARBPCLIP(cfg=cfg)
     rng = np.random.default_rng(0)
@@ -164,6 +165,15 @@ def run_flagship(iters_env: str = "BENCH_ITERS") -> None:
     )
 
 
+def _extra_overrides():
+    """BENCH_OVERRIDES env: comma-separated dotted overrides appended to the
+    config — used for on-hardware A/B probes (e.g. tower_a.fused_dense=true)."""
+    import os
+
+    raw = os.environ.get("BENCH_OVERRIDES", "").strip()
+    return [o for o in raw.split(",") if o]
+
+
 def main() -> None:
     import os
 
@@ -194,7 +204,13 @@ def main() -> None:
             "train.rng_impl=unsafe_rbg",
             # bf16 Adam moments halve optimizer HBM traffic (-0.5 ms/step)
             "train.optim.moment_dtype=bfloat16",
-        ],
+            # fused Dense+LN+act+dropout Pallas blocks with in-kernel PRNG:
+            # measured 0.674 -> 0.703 vs_baseline (scripts/tpu_fused_dense_probe)
+            "tower_a.fused_dense=true",
+            "tower_b.fused_dense=true",
+            "projection.fused_dense=true",
+        ]
+        + _extra_overrides(),
     )
     model = TwoTowerCLIP(cfg=cfg)
     rng = np.random.default_rng(0)

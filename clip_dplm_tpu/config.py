@@ -40,6 +40,9 @@ class TowerConfig:
     architecture: str = "mlp"  # mlp | transformer | resnet
     activation: str = "relu"
     dropout: float = 0.1
+    # route the final Dense+LayerNorm through the fused Pallas block kernel
+    # (ops/fused_dense.py) — TPU-only; silently unfused elsewhere
+    fused_dense: bool = False
 
 
 @dataclass(frozen=True)
@@ -56,6 +59,9 @@ class ProjectionConfig:
     hidden_dim: Optional[int] = None  # default: 2x input (base) / 4x dim (optimized)
     dropout: float = 0.1
     layer_scale_init: float = 1e-4
+    # route Dense+LN+GELU+Dropout blocks through the fused Pallas block
+    # kernel with in-kernel dropout PRNG (ops/fused_dense.py) — TPU-only
+    fused_dense: bool = False
 
 
 @dataclass(frozen=True)

@@ -24,6 +24,92 @@ _ACTS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# fused Dense+LN(+act+dropout) routing (ops/fused_dense.py)
+#
+# The holder modules declare params under EXACTLY the scope/param names the
+# unfused flax modules use ("fc0/kernel", "ln0/scale", ...), so checkpoints
+# and TP sharding rules are identical between the fused and unfused paths.
+# ---------------------------------------------------------------------------
+
+
+class _DenseParams(nn.Module):
+    features: int
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()  # nn.Dense default
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel", self.kernel_init, (in_dim, self.features), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), self.param_dtype
+        )
+        return kernel, bias
+
+
+class _LayerNormParams(nn.Module):
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (dim,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (dim,), self.param_dtype
+        )
+        return scale, bias
+
+
+def _fused_dense_mode(flag: bool):
+    """(enabled, interpret) for the fused dense path: compiled on TPU,
+    interpret-mode when tests force it, silently unfused elsewhere (the
+    interpreter stubs the hardware PRNG, so CPU training must not route
+    dropout through it)."""
+    if not flag:
+        return False, False
+    from clip_dplm_tpu.ops import fused_dense as fd
+
+    if fd.FORCE_INTERPRET:
+        return True, True
+    try:
+        import jax
+
+        return jax.devices()[0].platform == "tpu", False
+    except Exception:  # pragma: no cover - uninitialized backend
+        return False, False
+
+
+def _fused_block(mod: nn.Module, x, features: int, *, dense_name: str,
+                 ln_name: Optional[str], order: str, act: str, rate: float,
+                 deterministic: bool, out_dtype, dtype, param_dtype,
+                 kernel_init=None, interpret: bool = False):
+    """Run one Dense+LN(+act+dropout) block through the Pallas fused kernel,
+    declaring params under the same names as the unfused modules."""
+    import jax
+
+    from clip_dplm_tpu.ops.fused_dense import fused_dense_norm_act
+
+    dp = _DenseParams(
+        features=features, param_dtype=param_dtype, name=dense_name,
+        **({"kernel_init": kernel_init} if kernel_init is not None else {}),
+    )
+    kernel, bias = dp(x.shape[-1])
+    ln = _LayerNormParams(param_dtype=param_dtype, name=ln_name)
+    scale, ln_bias = ln(features)
+    seed = None
+    if rate > 0.0 and not deterministic:
+        key = mod.make_rng("dropout")
+        seed = jax.random.key_data(key).ravel()[-1].astype(jnp.int32)
+    return fused_dense_norm_act(
+        x, kernel, bias, scale, ln_bias, order=order, act=act,
+        dropout_rate=rate, dropout_seed=seed, deterministic=deterministic,
+        out_dtype=out_dtype, compute_dtype=dtype, interpret=interpret,
+    )
+
+
 class MLPTower(nn.Module):
     """Stack of `num_hidden_layers` square Linear+activation, final LayerNorm.
 
@@ -39,7 +125,9 @@ class MLPTower(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         act = _ACTS[self.cfg.activation]
         h = x.astype(self.dtype)
-        for i in range(self.cfg.num_hidden_layers):
+        n = self.cfg.num_hidden_layers
+        fused, interp = _fused_dense_mode(self.cfg.fused_dense)
+        for i in range(n - 1 if fused else n):
             h = nn.Dense(
                 self.cfg.hidden_size,
                 dtype=self.dtype,
@@ -47,6 +135,16 @@ class MLPTower(nn.Module):
                 name=f"dense_{i}",
             )(h)
             h = act(h)
+        if fused:
+            # final Dense + act + LN in one Pallas pass (same param tree)
+            return _fused_block(
+                self, h, self.cfg.hidden_size, dense_name=f"dense_{n - 1}",
+                ln_name="LayerNorm_0", order="act_ln",
+                act=self.cfg.activation, rate=0.0,
+                deterministic=deterministic, out_dtype=jnp.float32,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                interpret=interp,
+            )
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype)(h)
         return h
 
@@ -195,6 +293,22 @@ class ProjectionHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        fused, interp = _fused_dense_mode(self.cfg.fused_dense)
+        if fused:
+            h = _fused_block(
+                self, x.astype(self.dtype), self.cfg.dim, dense_name="fc1",
+                ln_name="ln1", order="ln_act", act="gelu",
+                rate=self.cfg.dropout, deterministic=deterministic,
+                out_dtype=self.dtype, dtype=self.dtype,
+                param_dtype=self.param_dtype, interpret=interp,
+            )
+            return _fused_block(
+                self, h, self.cfg.dim, dense_name="fc2", ln_name="ln2",
+                order="ln_act", act="none", rate=0.0,
+                deterministic=deterministic, out_dtype=jnp.float32,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                interpret=interp,
+            )
         h = nn.Dense(self.cfg.dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x.astype(self.dtype))
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
@@ -223,18 +337,36 @@ class OptimizedProjectionHead(nn.Module):
         x = x.astype(self.dtype)
         skip = nn.Dense(self.cfg.dim, kernel_init=init, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="skip")(x)
+        fused, interp = _fused_dense_mode(self.cfg.fused_dense)
         h = x
-        for i in range(2):
-            h = nn.Dense(hidden, kernel_init=init, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name=f"fc{i}")(h)
+        if fused:
+            for i in range(2):
+                h = _fused_block(
+                    self, h, hidden, dense_name=f"fc{i}", ln_name=f"ln{i}",
+                    order="ln_act", act="gelu", rate=self.cfg.dropout,
+                    deterministic=deterministic, out_dtype=self.dtype,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    kernel_init=init, interpret=interp,
+                )
+            h = _fused_block(
+                self, h, self.cfg.dim, dense_name="fc_out", ln_name="ln_out",
+                order="ln_act", act="none", rate=0.0,
+                deterministic=deterministic, out_dtype=jnp.float32,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                kernel_init=init, interpret=interp,
+            )
+        else:
+            for i in range(2):
+                h = nn.Dense(hidden, kernel_init=init, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name=f"fc{i}")(h)
+                h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
+                                 name=f"ln{i}")(h).astype(self.dtype)
+                h = nn.gelu(h)
+                h = nn.Dropout(self.cfg.dropout)(h, deterministic=deterministic)
+            h = nn.Dense(self.cfg.dim, kernel_init=init, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="fc_out")(h)
             h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
-                             name=f"ln{i}")(h).astype(self.dtype)
-            h = nn.gelu(h)
-            h = nn.Dropout(self.cfg.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.cfg.dim, kernel_init=init, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="fc_out")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
-                         name="ln_out")(h)
+                             name="ln_out")(h)
         layer_scale = self.param(
             "layer_scale",
             nn.initializers.constant(self.cfg.layer_scale_init),
