@@ -224,10 +224,11 @@ def main() -> None:
     # The device tunnel only reliably syncs on host fetches, so the benchmark
     # scans `iters` chained train steps inside ONE jit call and fetches the
     # final loss — per-call dispatch overhead is amortized and the timing is
-    # forced by the data dependency. The tunnel costs ~35 ms per CALL, so the
-    # scan must be long: 20 steps overstated the step by ~1.7 ms (14%);
-    # at 100 steps wall time matches the profiler's device-busy time.
-    iters = int(os.environ.get("BENCH_ITERS", 100))
+    # forced by the data dependency. The tunnel charges ~50 ms per CALL, so
+    # the scan must be long: 20 steps overstated the step by ~1.7 ms (14%),
+    # 100 by ~0.35 ms; 300 is within ~1% of the 400-step asymptote while
+    # keeping compile+run comfortably inside the driver's timeout.
+    iters = int(os.environ.get("BENCH_ITERS", 300))
 
     @jax.jit
     def multi_step(state, batch):

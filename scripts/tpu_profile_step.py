@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[8192, 16384, 32768])
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--fused", default="true")
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="additional dotted config overrides")
     args = ap.parse_args()
 
     from clip_dplm_tpu.config import Config, apply_overrides
@@ -67,7 +69,7 @@ def main():
                 "train.optim.total_steps=1000",
                 f"contrastive.use_fused_kernel={args.fused}",
                 "train.rng_impl=unsafe_rbg",
-            ],
+            ] + args.extra,
         )
         model = TwoTowerCLIP(cfg=cfg)
         rng = np.random.default_rng(0)
@@ -97,6 +99,7 @@ def main():
             return losses[-1]
 
         t_full = timed(full_step, state, batch, iters=iters)
+        print("full:", round(t_full*1e3, 3), "ms", flush=True)
 
         def perturbed(c):
             return {"a": batch["a"] + 1e-9 * c, "b": batch["b"] + 1e-9 * c}
@@ -112,6 +115,7 @@ def main():
             return c
 
         t_fwd = timed(fwd_det, state.params, iters=iters)
+        print("fwd_det:", round(t_fwd*1e3, 3), "ms", flush=True)
 
         # --- forward only, WITH dropout ---
         @jax.jit
@@ -127,6 +131,7 @@ def main():
 
         key = jax.random.key(0, impl="unsafe_rbg")
         t_fwd_drop = timed(fwd_drop, state.params, key, iters=iters)
+        print("fwd_drop:", round(t_fwd_drop*1e3, 3), "ms", flush=True)
 
         def loss_of(params, b, key):
             out = model.apply({"params": params}, b, deterministic=False,
@@ -149,6 +154,7 @@ def main():
             return c
 
         t_fwd_bwd = timed(fwd_bwd, state.params, key, iters=iters)
+        print("fwd_bwd:", round(t_fwd_bwd*1e3, 3), "ms", flush=True)
 
         # --- loss only: fwd+FULL grad of the loss on fixed embeddings ---
         emb_a = jnp.asarray(rng.normal(size=(B, 512)).astype(np.float32))
@@ -173,6 +179,7 @@ def main():
             return c
 
         t_loss = timed(loss_grad, iters=iters)
+        print("loss:", round(t_loss*1e3, 3), "ms", flush=True)
 
         # --- optimizer only (grads perturbed by carry; params in carry) ---
         grads0 = jax.tree_util.tree_map(
@@ -188,6 +195,7 @@ def main():
             return s.params["logit_scale"]
 
         t_opt = timed(opt_only, state, iters=iters)
+        print("opt:", round(t_opt*1e3, 3), "ms", flush=True)
 
         out = {
             "full_ms": t_full * 1e3,
