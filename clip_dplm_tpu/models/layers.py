@@ -85,7 +85,8 @@ def _fused_dense_mode(flag: bool):
 def _fused_block(mod: nn.Module, x, features: int, *, dense_name: str,
                  ln_name: Optional[str], order: str, act: str, rate: float,
                  deterministic: bool, out_dtype, dtype, param_dtype,
-                 kernel_init=None, interpret: bool = False):
+                 kernel_init=None, interpret: bool = False,
+                 skip=None, layer_scale=None):
     """Run one Dense+LN(+act+dropout) block through the Pallas fused kernel,
     declaring params under the same names as the unfused modules."""
     import jax
@@ -107,6 +108,7 @@ def _fused_block(mod: nn.Module, x, features: int, *, dense_name: str,
         x, kernel, bias, scale, ln_bias, order=order, act=act,
         dropout_rate=rate, dropout_seed=seed, deterministic=deterministic,
         out_dtype=out_dtype, compute_dtype=dtype, interpret=interpret,
+        skip=skip, layer_scale=layer_scale,
     )
 
 
@@ -348,12 +350,20 @@ class OptimizedProjectionHead(nn.Module):
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     kernel_init=init, interpret=interp,
                 )
-            h = _fused_block(
+            layer_scale = self.param(
+                "layer_scale",
+                nn.initializers.constant(self.cfg.layer_scale_init),
+                (1,),
+                self.param_dtype,
+            )
+            # fc_out + ln_out + the skip/layer-scale residual tail in ONE pass
+            return _fused_block(
                 self, h, self.cfg.dim, dense_name="fc_out", ln_name="ln_out",
                 order="ln_act", act="none", rate=0.0,
                 deterministic=deterministic, out_dtype=jnp.float32,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 kernel_init=init, interpret=interp,
+                skip=skip, layer_scale=layer_scale,
             )
         else:
             for i in range(2):

@@ -160,6 +160,16 @@ def test_optimized_projection_fused_routing(monkeypatch):
         np.asarray(y_fused, np.float32), np.asarray(y_plain, np.float32),
         rtol=0.05, atol=0.02,
     )
+    # gradient parity incl. the fused skip/layer_scale residual tail
+    gf = jax.grad(lambda p: jnp.sum(jnp.sin(m_fused.apply({"params": p}, x))))(p_fused)
+    gp = jax.grad(lambda p: jnp.sum(jnp.sin(m_plain.apply({"params": p}, x))))(p_plain)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(gp))
+    for k in flat_p:
+        np.testing.assert_allclose(
+            np.asarray(flat_f[k], np.float32), np.asarray(flat_p[k], np.float32),
+            rtol=0.1, atol=0.05, err_msg=str(k),
+        )
 
 
 def test_base_projection_fused_routing(monkeypatch):
