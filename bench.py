@@ -209,6 +209,10 @@ def main() -> None:
             "tower_a.fused_dense=true",
             "tower_b.fused_dense=true",
             "projection.fused_dense=true",
+            # NOTE: projection.l2_normalize_output=true (normalize folded
+            # into the projection epilogue) measured 0.742 -> 0.719 here —
+            # the in-epilogue reductions serialize work XLA otherwise
+            # overlaps across scan iterations; left off (RESULTS.md)
         ]
         + _extra_overrides(),
     )

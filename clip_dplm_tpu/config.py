@@ -62,6 +62,10 @@ class ProjectionConfig:
     # route Dense+LN+GELU+Dropout blocks through the fused Pallas block
     # kernel with in-kernel dropout PRNG (ops/fused_dense.py) — TPU-only
     fused_dense: bool = False
+    # emit L2-normalized embeddings from the projection head (folded into
+    # the fused kernel epilogue; the loss then skips its own normalize).
+    # Trade-off: analysis mean_norm collapse diagnostics read 1.0.
+    l2_normalize_output: bool = False
 
 
 @dataclass(frozen=True)

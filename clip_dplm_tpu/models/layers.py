@@ -86,7 +86,7 @@ def _fused_block(mod: nn.Module, x, features: int, *, dense_name: str,
                  ln_name: Optional[str], order: str, act: str, rate: float,
                  deterministic: bool, out_dtype, dtype, param_dtype,
                  kernel_init=None, interpret: bool = False,
-                 skip=None, layer_scale=None):
+                 skip=None, layer_scale=None, l2_normalize_out=False):
     """Run one Dense+LN(+act+dropout) block through the Pallas fused kernel,
     declaring params under the same names as the unfused modules."""
     import jax
@@ -108,7 +108,7 @@ def _fused_block(mod: nn.Module, x, features: int, *, dense_name: str,
         x, kernel, bias, scale, ln_bias, order=order, act=act,
         dropout_rate=rate, dropout_seed=seed, deterministic=deterministic,
         out_dtype=out_dtype, compute_dtype=dtype, interpret=interpret,
-        skip=skip, layer_scale=layer_scale,
+        skip=skip, layer_scale=layer_scale, l2_normalize_out=l2_normalize_out,
     )
 
 
@@ -282,8 +282,13 @@ class LinearProjection(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        return nn.Dense(self.cfg.dim, dtype=self.dtype,
-                        param_dtype=self.param_dtype)(x.astype(self.dtype))
+        out = nn.Dense(self.cfg.dim, dtype=self.dtype,
+                       param_dtype=self.param_dtype)(x.astype(self.dtype))
+        if self.cfg.l2_normalize_output:
+            from clip_dplm_tpu.ops.infonce import l2_normalize
+
+            out = l2_normalize(out)
+        return out
 
 
 class ProjectionHead(nn.Module):
@@ -364,6 +369,7 @@ class OptimizedProjectionHead(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 kernel_init=init, interpret=interp,
                 skip=skip, layer_scale=layer_scale,
+                l2_normalize_out=self.cfg.l2_normalize_output,
             )
         else:
             for i in range(2):
@@ -383,7 +389,12 @@ class OptimizedProjectionHead(nn.Module):
             (1,),
             self.param_dtype,
         )
-        return skip.astype(jnp.float32) + layer_scale * h
+        out = skip.astype(jnp.float32) + layer_scale * h
+        if self.cfg.l2_normalize_output:
+            from clip_dplm_tpu.ops.infonce import l2_normalize
+
+            out = l2_normalize(out)
+        return out
 
 
 def make_projection(cfg: ProjectionConfig, dtype=jnp.bfloat16,

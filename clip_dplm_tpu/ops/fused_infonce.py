@@ -353,15 +353,22 @@ def fused_clip_loss(
     dot_dtype=None,
     label_smoothing: float = 0.0,
     materialize_raw="auto",
+    assume_normalized: bool = False,
 ) -> Tuple[jax.Array, dict]:
     """Drop-in fused replacement for infonce.clip_loss / global_clip_loss.
 
     With `axis_name` (inside shard_map) rows stay local while columns are the
     all-gathered global embeddings — the ICI all-gather feeds the kernel
     directly and each chip computes CE for its local rows of both directions.
+    `assume_normalized` skips the L2 normalize when the projection head
+    already emitted unit rows (projection.l2_normalize_output).
     """
-    a = l2_normalize(emb_a)
-    b = l2_normalize(emb_b)
+    if assume_normalized:
+        a = emb_a.astype(jnp.float32)
+        b = emb_b.astype(jnp.float32)
+    else:
+        a = l2_normalize(emb_a)
+        b = l2_normalize(emb_b)
     scale = effective_scale(logit_scale, max_scale)
 
     if axis_name is None:

@@ -66,6 +66,7 @@ def _pair_loss_fn(cfg: Config, ctx: Optional[MeshContext] = None):
                 dot_dtype=jnp.bfloat16,
                 label_smoothing=cc.label_smoothing,
                 materialize_raw=cc.fused_materialize_raw,
+                assume_normalized=cfg.projection.l2_normalize_output,
             )
             if ctx is not None and ctx.data_size > 1 and cc.gather_global_batch:
                 # explicit SPMD: rows stay local per chip (GSPMD can't
@@ -344,6 +345,7 @@ def make_eval_step(cfg: Config) -> Callable[[TrainState, Any], Dict]:
                 out["emb_a"], out["emb_b"], logit_scale,
                 max_scale=cc.logit_scale_max, dot_dtype=jnp.bfloat16,
                 materialize_raw=False,
+                assume_normalized=cfg.projection.l2_normalize_output,
             )
         else:
             loss, metrics = infonce.clip_loss(

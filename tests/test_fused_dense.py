@@ -172,6 +172,69 @@ def test_optimized_projection_fused_routing(monkeypatch):
         )
 
 
+def test_fused_skip_l2_epilogue_parity():
+    """skip + layer_scale + L2-normalize epilogue, fwd and grads vs the
+    reference at f32 (exact)."""
+    x, w, b, g, bt = _inputs(B=32, K=160, N=128)
+    rng = np.random.default_rng(7)
+    skip = jnp.asarray(rng.normal(size=(32, 128)).astype(np.float32))
+    ls = jnp.asarray([0.3], np.float32)
+
+    from clip_dplm_tpu.ops.fused_dense import (
+        fused_dense_norm_act, fused_dense_reference,
+    )
+
+    def f_fused(x, w, b, g, bt, skip, ls):
+        y = fused_dense_norm_act(
+            x, w, b, g, bt, order="ln_act", act="none", deterministic=True,
+            interpret=True, compute_dtype=jnp.float32, skip=skip,
+            layer_scale=ls, l2_normalize_out=True,
+        )
+        return jnp.sum(jnp.sin(3.0 * y))
+
+    def f_ref(x, w, b, g, bt, skip, ls):
+        y = fused_dense_reference(
+            x, w, b, g, bt, order="ln_act", act="none",
+            compute_dtype=jnp.float32, skip=skip, layer_scale=ls,
+            l2_normalize_out=True,
+        )
+        return jnp.sum(jnp.sin(3.0 * y))
+
+    args = (x, w, b, g, bt, skip, ls)
+    lf, gradsf = jax.value_and_grad(f_fused, argnums=tuple(range(7)))(*args)
+    lr, gradsr = jax.value_and_grad(f_ref, argnums=tuple(range(7)))(*args)
+    assert np.allclose(lf, lr, rtol=1e-5)
+    for name, a_, r_ in zip("x w b g bt skip ls".split(), gradsf, gradsr):
+        np.testing.assert_allclose(
+            np.asarray(a_, np.float32), np.asarray(r_, np.float32),
+            rtol=3e-4, atol=1e-4, err_msg=name,
+        )
+
+
+def test_projection_l2_normalize_output_knob(monkeypatch):
+    """projection.l2_normalize_output makes every projection kind emit unit
+    rows on both the fused and unfused paths."""
+    from dataclasses import replace
+
+    from clip_dplm_tpu.config import ProjectionConfig
+    from clip_dplm_tpu.models.layers import OptimizedProjectionHead
+    from clip_dplm_tpu.ops import fused_dense as fd
+
+    cfg = ProjectionConfig(kind="optimized", dim=128, dropout=0.0,
+                           l2_normalize_output=True)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(8, 96)), jnp.float32)
+    m = OptimizedProjectionHead(cfg=cfg)
+    p = m.init(jax.random.PRNGKey(0), x)["params"]
+    norms = jnp.linalg.norm(m.apply({"params": p}, x), axis=-1)
+    np.testing.assert_allclose(np.asarray(norms), 1.0, rtol=1e-5)
+
+    monkeypatch.setattr(fd, "FORCE_INTERPRET", True)
+    m_f = OptimizedProjectionHead(cfg=replace(cfg, fused_dense=True))
+    p_f = m_f.init(jax.random.PRNGKey(0), x)["params"]
+    norms_f = jnp.linalg.norm(m_f.apply({"params": p_f}, x), axis=-1)
+    np.testing.assert_allclose(np.asarray(norms_f), 1.0, rtol=1e-5)
+
+
 def test_base_projection_fused_routing(monkeypatch):
     from dataclasses import replace
 
