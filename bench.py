@@ -116,6 +116,8 @@ def run_flagship(iters_env: str = "BENCH_ITERS") -> None:
             "train.optim.moment_dtype=bfloat16",
             "contrastive.use_fused_kernel=true",
             "train.rng_impl=unsafe_rbg",
+            # fused projection-head blocks: measured 0.329 -> 0.362 here
+            "projection.fused_dense=true",
         ]
         + _extra_overrides(),
     )
