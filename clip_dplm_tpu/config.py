@@ -103,6 +103,11 @@ class TransformerTowerConfig:
     dropout: float = 0.1
     max_len: int = 512
     pooling: str = "cls"  # cls | mean
+    # LayerNorm output dtype inside the blocks. flax computes the stats in
+    # f32 either way; "bfloat16" skips the f32 materialization of the LN
+    # output that the following cast would round to bf16 anyway (measured
+    # ~1.4 ms per LN at B=1024, S=128, d=512 on v5e)
+    ln_dtype: str = "float32"  # float32 | bfloat16
 
 
 @dataclass(frozen=True)

@@ -231,12 +231,15 @@ class TransformerBlock(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
+    # LN stats are f32 either way (flax); bf16 here skips the f32
+    # materialization that the following .astype(dtype) rounds away
+    ln_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
         from clip_dplm_tpu.ops.attention import multihead_attention
 
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
+        h = nn.LayerNorm(dtype=self.ln_dtype, param_dtype=self.param_dtype,
                          name="ln_attn")(x).astype(self.dtype)
         qkv = nn.Dense(3 * self.d_model, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="qkv")(h)
@@ -247,7 +250,7 @@ class TransformerBlock(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = x + attn
 
-        h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
+        h = nn.LayerNorm(dtype=self.ln_dtype, param_dtype=self.param_dtype,
                          name="ln_ffn")(x).astype(self.dtype)
         h = nn.Dense(self.ffn_mult * self.d_model, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="ffn_in")(h)

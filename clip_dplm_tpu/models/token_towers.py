@@ -73,6 +73,8 @@ class TokenTransformerTower(nn.Module):
                 dropout=c.dropout,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                ln_dtype=(jnp.bfloat16 if c.ln_dtype == "bfloat16"
+                          else jnp.float32),
                 name=f"block_{i}",
             )(h, mask, deterministic=deterministic)
 

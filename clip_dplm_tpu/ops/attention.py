@@ -73,6 +73,19 @@ def _on_tpu() -> bool:
         return False
 
 
+def _flash_min_seq() -> int:
+    """Key-count threshold for routing to the Pallas flash kernel (measured
+    crossover vs XLA's fused attention on v5e: ~256 keys at small batch).
+    Override with CLIP_DPLM_FLASH_MIN_SEQ for shape regimes where the
+    batched-small-matmul XLA path degrades (e.g. very large B*H at short S)."""
+    import os
+
+    try:
+        return int(os.environ.get("CLIP_DPLM_FLASH_MIN_SEQ", 256))
+    except ValueError:  # pragma: no cover
+        return 256
+
+
 def attention_dispatch(
     qh: jax.Array,
     kh: jax.Array,
@@ -89,7 +102,10 @@ def attention_dispatch(
     # width itself, so the only dispatch requirements are a TPU backend, a
     # key-padding (2D) mask, and enough keys that blockwise attention wins
     # over XLA's fused path (measured crossover on v5e: ~256 keys).
-    flash_ok = _on_tpu() and seq_k >= 256 and (mask is None or mask.ndim == 2)
+    flash_ok = (
+        _on_tpu() and seq_k >= _flash_min_seq()
+        and (mask is None or mask.ndim == 2)
+    )
     if use_flash is None:
         use_flash = flash_ok
     if use_flash and flash_ok:

@@ -77,42 +77,116 @@ def main():
     print("full:", round(timed(full, state, batch, iters=iters) * 1e3, 2),
           "ms", flush=True)
 
-    def perturbed(c):
+    # batch must be a jit ARGUMENT: closed-over arrays become inline
+    # constants in the serialized program, and the 0.5 GB token batch then
+    # overflows the remote-compile request (HTTP 413)
+    def perturbed(b, c):
         return {
-            "rna_tokens": batch["rna_tokens"] + 1e-9 * c,
-            "rna_mask": batch["rna_mask"],
-            "rbp_tokens": batch["rbp_tokens"] + 1e-9 * c,
-            "rbp_mask": batch["rbp_mask"],
+            "rna_tokens": b["rna_tokens"] + 1e-9 * c,
+            "rna_mask": b["rna_mask"],
+            "rbp_tokens": b["rbp_tokens"] + 1e-9 * c,
+            "rbp_mask": b["rbp_mask"],
         }
 
     @jax.jit
-    def fwd_det(params):
+    def fwd_det(params, b):
         def body(c, _):
-            out = model.apply({"params": params}, perturbed(c),
+            out = model.apply({"params": params}, perturbed(b, c),
                               deterministic=True)
             return (jnp.sum(out["emb_a"]) + jnp.sum(out["emb_b"])).astype(
                 jnp.float32) * 1e-9, ()
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return c
 
-    print("fwd_det:", round(timed(fwd_det, state.params, iters=iters) * 1e3, 2),
-          "ms", flush=True)
+    print("fwd_det:", round(
+        timed(fwd_det, state.params, batch, iters=iters) * 1e3, 2),
+        "ms", flush=True)
 
     key = jax.random.key(0, impl="unsafe_rbg")
 
     @jax.jit
-    def fwd_drop(params):
+    def fwd_drop(params, b):
         def body(c, _):
-            out = model.apply({"params": params}, perturbed(c),
+            out = model.apply({"params": params}, perturbed(b, c),
                               deterministic=False, rngs={"dropout": key})
             return (jnp.sum(out["emb_a"]) + jnp.sum(out["emb_b"])).astype(
                 jnp.float32) * 1e-9, ()
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return c
 
-    print("fwd_drop:", round(timed(fwd_drop, state.params, iters=iters) * 1e3, 2),
+    print("fwd_drop:", round(
+        timed(fwd_drop, state.params, batch, iters=iters) * 1e3, 2),
+        "ms", flush=True)
+
+
+def probe_block():
+    """Isolate one TransformerBlock's forward pieces at the flagship shape."""
+    import functools
+
+    import flax.linen as nn
+
+    from clip_dplm_tpu.models.layers import TransformerBlock
+    from clip_dplm_tpu.ops.attention import attention_reference
+
+    B, S, D, H = 1024, 128, 512, 8
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32), jnp.bfloat16)
+    qh = jnp.asarray(rng.normal(size=(B, H, S, D // H)).astype(np.float32),
+                     jnp.bfloat16)
+    mask = jnp.asarray(np.ones((B, S), bool))
+
+    block = TransformerBlock(d_model=D, num_heads=H, dropout=0.0)
+    params = block.init(jax.random.PRNGKey(0), x)["params"]
+
+    def chain(body):
+        @jax.jit
+        def run(*args):
+            def f(c, _):
+                out = body(c, *args)
+                return jnp.sum(out).astype(jnp.float32) * 1e-9, ()
+            c, _ = jax.lax.scan(f, jnp.float32(0.0), None, length=iters)
+            return c
+        return run
+
+    run_block = chain(lambda c, p, x: block.apply(
+        {"params": p}, x + c.astype(x.dtype), mask=mask, deterministic=True))
+    print("block fwd:", round(timed(run_block, params, x, iters=iters) * 1e3, 3),
+          "ms", flush=True)
+
+    run_attn = chain(lambda c, q: attention_reference(
+        q + c.astype(q.dtype), q, q, mask=mask))
+    print("attention fwd:", round(timed(run_attn, qh, iters=iters) * 1e3, 3),
+          "ms", flush=True)
+
+    dense_qkv = nn.Dense(3 * D, dtype=jnp.bfloat16)
+    pq = dense_qkv.init(jax.random.PRNGKey(1), x)["params"]
+    dense_f1 = nn.Dense(4 * D, dtype=jnp.bfloat16)
+    pf1 = dense_f1.init(jax.random.PRNGKey(2), x)["params"]
+    dense_f2 = nn.Dense(D, dtype=jnp.bfloat16)
+    pf2 = dense_f2.init(jax.random.PRNGKey(3), jnp.zeros((1, 1, 4 * D)))["params"]
+    dense_o = nn.Dense(D, dtype=jnp.bfloat16)
+    po = dense_o.init(jax.random.PRNGKey(4), x)["params"]
+
+    def mats(c, x):
+        h = dense_qkv.apply({"params": pq}, x + c.astype(x.dtype))
+        o = dense_o.apply({"params": po}, h[..., :D])
+        f = dense_f2.apply({"params": pf2},
+                           nn.gelu(dense_f1.apply({"params": pf1}, o)))
+        return f
+    run_mats = chain(mats)
+    print("dense-only fwd:", round(timed(run_mats, x, iters=iters) * 1e3, 3),
+          "ms", flush=True)
+
+    ln = nn.LayerNorm(dtype=jnp.float32)
+    pl_ = ln.init(jax.random.PRNGKey(5), x)["params"]
+    run_ln = chain(lambda c, x: ln.apply({"params": pl_}, x + c.astype(x.dtype)))
+    print("one LN fwd:", round(timed(run_ln, x, iters=iters) * 1e3, 3),
           "ms", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PROBE_BLOCK"):
+        probe_block()
+    else:
+        main()
