@@ -39,9 +39,20 @@ DEFAULT_BLOCK_K = 128
 # ---------------------------------------------------------------------------
 
 
+def _diag_bias(iq, ik, bq, bk, diag_block: int):
+    """Additive block-diagonal bias: rows and keys attend only within the
+    same `diag_block`-sized group (grouped short-sequence attention packs G
+    independent (batch, head) pairs into one G*S-row attention)."""
+    row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    col = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    same = (row // diag_block) == (col // diag_block)
+    return jnp.where(same, 0.0, NEG_INF).astype(jnp.float32)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, scale: float, nk: int):
-    ik = pl.program_id(3)
+                m_scr, l_scr, acc_scr, *, scale: float, nk: int,
+                diag_block: int = 0):
+    iq, ik = pl.program_id(2), pl.program_id(3)
 
     @pl.when(ik == 0)
     def _():
@@ -58,6 +69,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (bq, bk)
     s = s + bias  # broadcast (1, bk) over rows
+    if diag_block:
+        s = s + _diag_bias(iq, ik, s.shape[0], s.shape[1], diag_block)
 
     m_prev = m_scr[:, 0:1]  # (bq, 1)
     l_prev = l_scr[:, 0:1]
@@ -84,14 +97,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, lse_ref,
 
 
 def _flash_fwd(q, k, v, bias, *, block_q: int, block_k: int,
-               scale: float) -> Tuple[jax.Array, jax.Array]:
+               scale: float, diag_block: int = 0) -> Tuple[jax.Array, jax.Array]:
     B, H, S, Dh = q.shape
     Sk = k.shape[2]
     nq = pl.cdiv(S, block_q)
     nk = pl.cdiv(Sk, block_k)
 
     grid = (B, H, nq, nk)
-    kernel = functools.partial(_fwd_kernel, scale=scale, nk=nk)
+    kernel = functools.partial(_fwd_kernel, scale=scale, nk=nk,
+                               diag_block=diag_block)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -124,8 +138,9 @@ def _flash_fwd(q, k, v, bias, *, block_q: int, block_k: int,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_scr, *, scale: float, nk: int):
-    ik = pl.program_id(3)
+                   dq_ref, dq_scr, *, scale: float, nk: int,
+                   diag_block: int = 0):
+    iq, ik = pl.program_id(2), pl.program_id(3)
 
     @pl.when(ik == 0)
     def _():
@@ -142,6 +157,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale + bias
+    if diag_block:
+        s = s + _diag_bias(iq, ik, s.shape[0], s.shape[1], diag_block)
     p = jnp.exp(s - lse)  # (bq, bk)
     dp = jax.lax.dot_general(
         do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
@@ -159,8 +176,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, nq: int):
-    iq = pl.program_id(3)
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float, nq: int,
+                    diag_block: int = 0):
+    ik, iq = pl.program_id(2), pl.program_id(3)
 
     @pl.when(iq == 0)
     def _():
@@ -178,6 +196,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale + bias  # (bq, bk)
+    if diag_block:
+        s = s + _diag_bias(iq, ik, s.shape[0], s.shape[1], diag_block)
     p = jnp.exp(s - lse)
     # dv += p^T @ dO
     dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
@@ -202,7 +222,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd(q, k, v, bias, out, lse, do, *, block_q: int, block_k: int,
-               scale: float):
+               scale: float, diag_block: int = 0):
     B, H, S, Dh = q.shape
     Sk = k.shape[2]
     nq = pl.cdiv(S, block_q)
@@ -213,7 +233,8 @@ def _flash_bwd(q, k, v, bias, out, lse, do, *, block_q: int, block_k: int,
     )  # (B, H, S, 1)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk),
+        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk,
+                          diag_block=diag_block),
         grid=(B, H, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
@@ -230,7 +251,8 @@ def _flash_bwd(q, k, v, bias, out, lse, do, *, block_q: int, block_k: int,
     )(q, k, v, bias, do, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq),
+        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq,
+                          diag_block=diag_block),
         grid=(B, H, nk, nq),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, ik, iq: (b, h, iq, 0)),
@@ -262,21 +284,25 @@ def _flash_bwd(q, k, v, bias, out, lse, do, *, block_q: int, block_k: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_attention_core(q, k, v, bias, scale, block_q, block_k):
-    out, _ = _flash_fwd(q, k, v, bias, block_q=block_q, block_k=block_k, scale=scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention_core(q, k, v, bias, scale, block_q, block_k,
+                          diag_block=0):
+    out, _ = _flash_fwd(q, k, v, bias, block_q=block_q, block_k=block_k,
+                        scale=scale, diag_block=diag_block)
     return out
 
 
-def _core_fwd(q, k, v, bias, scale, block_q, block_k):
-    out, lse = _flash_fwd(q, k, v, bias, block_q=block_q, block_k=block_k, scale=scale)
+def _core_fwd(q, k, v, bias, scale, block_q, block_k, diag_block=0):
+    out, lse = _flash_fwd(q, k, v, bias, block_q=block_q, block_k=block_k,
+                          scale=scale, diag_block=diag_block)
     return out, (q, k, v, bias, out, lse)
 
 
-def _core_bwd(scale, block_q, block_k, residuals, do):
+def _core_bwd(scale, block_q, block_k, diag_block, residuals, do):
     q, k, v, bias, out, lse = residuals
     dq, dk, dv = _flash_bwd(
-        q, k, v, bias, out, lse, do, block_q=block_q, block_k=block_k, scale=scale
+        q, k, v, bias, out, lse, do, block_q=block_q, block_k=block_k,
+        scale=scale, diag_block=diag_block
     )
     return dq, dk, dv, None
 
@@ -296,6 +322,7 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    diag_block: int = 0,
 ) -> jax.Array:
     """Flash attention over (B, H, S, Dh) with optional (B, S) key mask
     (True = real token). Pads S to the block size and Dh to the 128 lane
@@ -329,5 +356,65 @@ def flash_attention(
         return jnp.pad(x, pads) if any(p[1] for p in pads) else x
 
     qp, kp, vp = pad_qkv(q, Sp), pad_qkv(k, Skp), pad_qkv(v, Skp)
-    out = _flash_attention_core(qp, kp, vp, bias, float(scale), block_q, block_k)
+    out = _flash_attention_core(qp, kp, vp, bias, float(scale), block_q,
+                                block_k, diag_block)
     return out[:, :, :S, :Dh]
+
+
+def grouped_short_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    group: Optional[int] = None,
+) -> jax.Array:
+    """Self-attention for SHORT sequences (S below the ~256 flash/XLA
+    crossover) on TPU: packs G (batch, head) pairs into one G*S-row
+    block-diagonal attention per kernel program.
+
+    At S=128/Dh=64 XLA lowers attention to B*H tiny batched matmuls that
+    underfill the MXU and materialize the (B, H, S, S) scores in HBM
+    (measured ~8x over the flop floor on v5e); running the flash kernel
+    per (b, h) pair is worse still (per-program overhead). Packing G pairs
+    makes every matmul (G*S, Dh) x (Dh, G*S) MXU-wide while an in-kernel
+    block-diagonal bias (`diag_block=S_padded`) masks the cross-pair
+    blocks; scores never reach HBM. The G^2/G flop waste is irrelevant —
+    attention is ~1% of these models' FLOPs.
+
+    q, k, v: (B, H, S, Dh) with S == Sk (self-attention); mask: (B, S)
+    key-validity. Gradients flow through the flash custom VJP.
+    """
+    B, H, S, Dh = q.shape
+    if k.shape[2] != S:
+        raise ValueError("grouped_short_attention requires self-attention "
+                         f"(Sq == Sk), got {S} vs {k.shape[2]}")
+    if scale is None:
+        scale = 1.0 / (Dh**0.5)
+    Sp = _round_up(S, 128)
+    if group is None:
+        group = max(1, 512 // Sp)
+    BH = B * H
+    while group > 1 and BH % group:
+        group //= 2
+
+    if mask is None:
+        mask = jnp.ones((B, S), dtype=bool)
+
+    def pack(x):
+        x = x.reshape(BH, S, Dh)
+        if Sp != S:
+            x = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
+        return x.reshape(BH // group, 1, group * Sp, Dh)
+
+    maskp = jnp.broadcast_to(mask[:, None, :], (B, H, S)).reshape(BH, S)
+    if Sp != S:
+        maskp = jnp.pad(maskp, ((0, 0), (0, Sp - S)))
+    mask2 = maskp.reshape(BH // group, group * Sp)
+
+    out = flash_attention(
+        pack(q), pack(k), pack(v), mask=mask2, scale=scale,
+        block_q=group * Sp, block_k=group * Sp, diag_block=Sp,
+    )
+    out = out.reshape(BH, Sp, Dh)[:, :S]
+    return out.reshape(B, H, S, Dh)
