@@ -30,8 +30,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
 
 
 # ---------------------------------------------------------------------------
