@@ -12,9 +12,12 @@ machinery the reference leans on (SURVEY.md L1):
     from a root cell via the symmetrized transition operator
     (`sc.tl.diffmap` + `sc.tl.dpt` semantics, tf nb cells 8-12 and
     tong/utils/data.py:36-49; root = first CTRL cell).
-  * `cluster_graph` — PAGA-like coarse connectivity between KMeans clusters
-    (`sc.tl.paga` capability; leiden is swapped for KMeans since python-igraph
-    is absent — same downstream shape: cluster x cluster connectivity).
+  * `leiden_clusters` / `paga_connectivities` — native leiden community
+    detection (modularity local-moving + graph contraction) and PAGA
+    observed/expected connectivities (`sc.tl.leiden` + `sc.tl.paga` v1.2
+    semantics, no python-igraph needed); `cluster_graph` is the simpler
+    mean-edge-weight coarse connectivity over any labeling (KMeans or
+    leiden).
   * `top_degs` — per-cell top-k up + down differentially-expressed genes from
     a perturbation layer, min-max scaled to [-1, 1] (tf nb cell 29
     `preprocess_data` / `get_top_degs`).

@@ -56,6 +56,10 @@ def main(argv=None) -> Dict[str, np.ndarray]:
     parser.add_argument("--max-len", type=int, default=1024)
     parser.add_argument("--pooling", default="mean_residues",
                         choices=["mean_residues", "cls"])
+    parser.add_argument("--pipeline-stages", type=int, default=0,
+                        help="pipeline the ESM trunk over this many devices "
+                             "(GPipe; for the 3B/15B presets that do not fit "
+                             "one chip). 0 = single-device forward.")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
     if args.platform:
@@ -89,9 +93,29 @@ def main(argv=None) -> Dict[str, np.ndarray]:
 
     # fixed padded length -> one compiled program
     S = args.max_len
-    embed = jax.jit(
-        lambda t, m: tower.apply(variables, t, m, pooling=args.pooling)
-    )
+    if args.pipeline_stages > 1:
+        from jax.sharding import Mesh
+
+        from clip_dplm_tpu.models.esm import PipelinedESMTower
+
+        devs = jax.devices()
+        if len(devs) < args.pipeline_stages:
+            raise SystemExit(
+                f"--pipeline-stages {args.pipeline_stages} needs that many "
+                f"devices; found {len(devs)}")
+        if args.batch_size % args.pipeline_stages:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by "
+                f"--pipeline-stages {args.pipeline_stages} (microbatching)")
+        mesh = Mesh(np.asarray(devs[: args.pipeline_stages]), ("pipe",))
+        ptower = PipelinedESMTower(
+            tower.cfg, mesh=mesh, pipe_axis="pipe", dtype=jnp.bfloat16)
+        embed = lambda t, m: ptower.apply(variables, t, m,
+                                          pooling=args.pooling)
+    else:
+        embed = jax.jit(
+            lambda t, m: tower.apply(variables, t, m, pooling=args.pooling)
+        )
     out_chunks = []
     t0 = time.time()
     B = args.batch_size

@@ -321,6 +321,53 @@ def pipelined_esm_apply(
     ))(stacked, tokens, mask)
 
 
+class PipelinedESMTower:
+    """ESMTower with the block trunk pipelined over a mesh axis — the
+    feature-level wrapper around pipelined_esm_apply for the esm2_t36_3B /
+    t48_15B presets (triple_flow/1_config.py:152-183, named but never run by
+    the single-GPU reference).
+
+    Checkpoint layout: the param tree is IDENTICAL to ESMTower's (layer_i
+    scopes; the stacked (L/P, ...) pipeline layout is derived per call by
+    stack_layer_params), so Orbax checkpoints, convert_esm_torch_params
+    output and the TP sharding rule all apply unchanged — a tower trained or
+    converted anywhere runs pipelined by swapping the wrapper.
+
+        tower = PipelinedESMTower(cfg, mesh=mesh, pipe_axis="model")
+        params = tower.init(rng, tokens)["params"]     # == ESMTower.init
+        pooled = tower.apply({"params": params}, tokens, mask,
+                             pooling="mean_residues")
+    """
+
+    def __init__(self, cfg: ESMConfig, *, mesh, pipe_axis: str = "model",
+                 num_microbatches: Optional[int] = None,
+                 dtype: Any = jnp.bfloat16, param_dtype: Any = jnp.float32):
+        n_stages = mesh.shape[pipe_axis]
+        if cfg.num_layers % n_stages:
+            raise ValueError(
+                f"num_layers={cfg.num_layers} not divisible by "
+                f"{n_stages} pipeline stages over axis {pipe_axis!r}")
+        self.cfg = cfg
+        self.mesh = mesh
+        self.pipe_axis = pipe_axis
+        self.num_microbatches = num_microbatches
+        self.dtype = dtype
+        self.param_dtype = param_dtype
+        self._tower = ESMTower(cfg=cfg, dtype=dtype, param_dtype=param_dtype)
+
+    def init(self, rng, tokens, mask=None):
+        return self._tower.init(rng, tokens, mask)
+
+    def apply(self, variables, tokens, mask=None, *,
+              pooling: str = "mean_residues"):
+        return pipelined_esm_apply(
+            self.cfg, variables["params"], tokens, mask,
+            mesh=self.mesh, pipe_axis=self.pipe_axis,
+            num_microbatches=self.num_microbatches, pooling=pooling,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+
+
 # ---------------------------------------------------------------------------
 # torch checkpoint conversion
 # ---------------------------------------------------------------------------

@@ -312,13 +312,18 @@ class ProjectionHead(nn.Module):
                 out_dtype=self.dtype, dtype=self.dtype,
                 param_dtype=self.param_dtype, interpret=interp,
             )
-            return _fused_block(
+            h = _fused_block(
                 self, h, self.cfg.dim, dense_name="fc2", ln_name="ln2",
                 order="ln_act", act="none", rate=0.0,
                 deterministic=deterministic, out_dtype=jnp.float32,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 interpret=interp,
             )
+            if self.cfg.l2_normalize_output:
+                from clip_dplm_tpu.ops.infonce import l2_normalize
+
+                h = l2_normalize(h)
+            return h
         h = nn.Dense(self.cfg.dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc1")(x.astype(self.dtype))
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
@@ -328,6 +333,10 @@ class ProjectionHead(nn.Module):
         h = nn.Dense(self.cfg.dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc2")(h)
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype, name="ln2")(h)
+        if self.cfg.l2_normalize_output:
+            from clip_dplm_tpu.ops.infonce import l2_normalize
+
+            h = l2_normalize(h)
         return h
 
 

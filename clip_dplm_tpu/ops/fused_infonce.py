@@ -441,7 +441,12 @@ MATERIALIZE_BYTES_LIMIT = 640 * 1024 * 1024
 # L2-normalized vectors are bounded by ~1.008, so q = round(raw * RAW_QSCALE)
 # covers the range with absolute error ~3e-5 — an order of magnitude tighter
 # than bf16 at the same 2 bytes/element, keeping backward parity with the
-# recompute path at ~1e-4.
+# recompute path at ~1e-4. The error enters the backward softmax as
+# err * effective_scale, so parity degrades linearly as the learned
+# temperature grows — at the logit_scale_max clamp (scale 100) per-logit
+# error is ~3e-3, which the softmax's normalization largely cancels
+# (gradient parity at max scale is tested:
+# test_fused_infonce.py::test_materialized_raw_at_max_scale).
 RAW_QSCALE = 32767.0 / 1.01
 
 
@@ -853,6 +858,59 @@ def ring_fused_clip_loss(
         )
         loss = loss + jax.lax.pmean(adj, axis_name)
     return loss, {"loss_a": loss, "loss_b": loss, "logit_scale": scale}
+
+
+def fused_multiway_clip_loss(
+    embeddings: dict,
+    logit_scale: jax.Array,
+    pairs=None,
+    max_scale: float = 100.0,
+    label_smoothing: float = 0.0,
+    weights=None,
+    axis_name: Optional[str] = None,
+    dot_dtype=None,
+    materialize_raw="auto",
+) -> Tuple[jax.Array, dict]:
+    """Fused-kernel multiway CLIP loss (tf nb cell 41 3-way semantics).
+
+    Each modality pair term is exactly the pairwise-symmetric shape the fused
+    kernel handles, so the three B x B similarity matrices of
+    infonce.multiway_clip_loss never materialize in HBM. With `axis_name`
+    (inside shard_map) every pair routes through the ring-scheduled
+    global-batch kernel — the gather-for-every-variant semantics of
+    old/clip_opt.py:102-112 with the gather absorbed into the ring schedule.
+    Parity with infonce.multiway_clip_loss: rtol ~1e-4 (no per-pair accuracy
+    metric — the fused kernels never materialize the argmax row).
+    """
+    names = list(embeddings.keys())
+    if pairs is None:
+        pairs = tuple(
+            (names[i], names[j])
+            for i in range(len(names))
+            for j in range(i + 1, len(names))
+        )
+    total = jnp.zeros(())
+    metrics = {}
+    for a_name, b_name in pairs:
+        if a_name not in embeddings or b_name not in embeddings:
+            continue
+        a, b = embeddings[a_name], embeddings[b_name]
+        if axis_name is not None:
+            loss, _ = ring_fused_clip_loss(
+                a, b, logit_scale, axis_name=axis_name, max_scale=max_scale,
+                dot_dtype=dot_dtype, label_smoothing=label_smoothing,
+            )
+        else:
+            loss, _ = fused_clip_loss(
+                a, b, logit_scale, max_scale=max_scale, dot_dtype=dot_dtype,
+                label_smoothing=label_smoothing,
+                materialize_raw=materialize_raw,
+            )
+        w = 1.0 if weights is None else weights.get((a_name, b_name), 1.0)
+        total = total + w * loss
+        metrics[f"loss_{a_name}_{b_name}"] = loss
+    metrics["logit_scale"] = effective_scale(logit_scale, max_scale)
+    return total, metrics
 
 
 # ---------------------------------------------------------------------------

@@ -143,8 +143,42 @@ def _multiway_loss_fn(cfg: Config, ctx: Optional[MeshContext] = None):
     """3-way TF CLIP loss (tf nb cell 41): sum of pairwise symmetric CEs over
     cell/pert/protein embeddings. Under a sharded batch the global B x B
     similarity is emitted by GSPMD automatically, matching the reference's
-    gather-for-every-variant (old/clip_opt.py:102-112)."""
+    gather-for-every-variant (old/clip_opt.py:102-112). With the fused kernel
+    each pair term routes through fused_clip_loss (single chip) or the
+    ring-scheduled kernel (multi-chip) — the three B x B sims never hit HBM."""
     cc = cfg.contrastive
+    use_fused = cc.use_fused_kernel and _fused_ok()
+
+    def multiway(embs, logit_scale):
+        if not use_fused:
+            return infonce.multiway_clip_loss(
+                embs, logit_scale,
+                label_smoothing=cc.label_smoothing,
+                max_scale=cc.logit_scale_max,
+            )
+        import functools
+
+        from clip_dplm_tpu.ops.fused_infonce import fused_multiway_clip_loss
+
+        base = functools.partial(
+            fused_multiway_clip_loss,
+            max_scale=cc.logit_scale_max,
+            dot_dtype=jnp.bfloat16,
+            label_smoothing=cc.label_smoothing,
+            materialize_raw=cc.fused_materialize_raw,
+        )
+        if ctx is not None and ctx.data_size > 1 and cc.gather_global_batch:
+            d = ctx.data_axis
+            names = list(embs.keys())
+            return jax.shard_map(
+                lambda *vals: base(
+                    dict(zip(names, vals[:-1])), vals[-1], axis_name=d),
+                mesh=ctx.mesh,
+                in_specs=tuple([P(d)] * len(names)) + (P(),),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(*[embs[n] for n in names], logit_scale)
+        return base(embs, logit_scale)
 
     def loss_fn(params, apply_fn, batch, rng, cache, cache_len):
         del cache, cache_len
@@ -161,10 +195,7 @@ def _multiway_loss_fn(cfg: Config, ctx: Optional[MeshContext] = None):
             if cc.learned_temperature
             else jnp.log(1.0 / cc.temperature)
         )
-        loss, metrics = infonce.multiway_clip_loss(
-            embs, logit_scale,
-            label_smoothing=cc.label_smoothing, max_scale=cc.logit_scale_max,
-        )
+        loss, metrics = multiway(embs, logit_scale)
         return loss, (metrics, None)
 
     return loss_fn

@@ -11,7 +11,9 @@ recipe: AdamW(wd=.01) + CosineAnnealingLR + clip_grad_norm_(1.0)
   (run1/full.py:120-187), batch 128, 85/15 split (run1/proposal.MD:3).
 
 Usage:  python scripts/torch_parity_ab.py [--epochs 30] [--seeds 3]
-Writes runs/parity_ab.json and prints a summary row for PARITY.md.
+Writes evidence/parity_ab.json (tracked) and prints a summary row for
+PARITY.md. The flagship token-transformer A/B lives in
+scripts/torch_parity_ab_flagship.py.
 """
 
 from __future__ import annotations
@@ -305,9 +307,10 @@ def main():
         or summary["jax"]["r_at_1_mean"]
         >= summary["torch"]["r_at_1_mean"] - 0.005
     )
-    os.makedirs("runs", exist_ok=True)
-    with open("runs/parity_ab.json", "w") as f:
-        json.dump({"summary": summary, "results": results}, f, indent=1)
+    os.makedirs("evidence", exist_ok=True)
+    with open("evidence/parity_ab.json", "w") as f:
+        json.dump({"summary": summary, "results": results,
+                   "config": vars(args)}, f, indent=1)
     print(json.dumps(summary, indent=1))
 
 

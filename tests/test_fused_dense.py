@@ -21,6 +21,11 @@ CASES = [
     ("ln_act", "gelu"),
     ("ln_act", "none"),
     ("act_ln", "relu"),
+    # non-invertible acts: the act_ln forward saves the pre-activation
+    # residual so the backward can evaluate act'(u) directly
+    ("act_ln", "gelu"),
+    ("act_ln", "silu"),
+    ("act_ln", "tanh"),
 ]
 
 
@@ -90,6 +95,16 @@ def test_fused_dense_rejects_bad_args():
             x, w, b, g, bt, dropout_rate=0.5, deterministic=False,
             interpret=True,
         )  # dropout without a seed
+    with pytest.raises(ValueError):
+        fused_dense_norm_act(
+            x, w, b, g, bt, order="act_ln", act="relu", dropout_rate=0.5,
+            dropout_seed=jnp.zeros((1,), jnp.int32), deterministic=False,
+            interpret=True,
+        )  # act_ln does not implement dropout — reject, don't skip
+    with pytest.raises(ValueError):
+        fused_dense_norm_act(
+            x, w, b, g, bt, order="ln_act", act="mish", interpret=True
+        )  # unknown activation rejected eagerly
 
 
 # ---------------------------------------------------------------------------
@@ -217,22 +232,28 @@ def test_projection_l2_normalize_output_knob(monkeypatch):
     from dataclasses import replace
 
     from clip_dplm_tpu.config import ProjectionConfig
-    from clip_dplm_tpu.models.layers import OptimizedProjectionHead
+    from clip_dplm_tpu.models.layers import make_projection
     from clip_dplm_tpu.ops import fused_dense as fd
 
-    cfg = ProjectionConfig(kind="optimized", dim=128, dropout=0.0,
-                           l2_normalize_output=True)
     x = jnp.asarray(np.random.default_rng(5).normal(size=(8, 96)), jnp.float32)
-    m = OptimizedProjectionHead(cfg=cfg)
-    p = m.init(jax.random.PRNGKey(0), x)["params"]
-    norms = jnp.linalg.norm(m.apply({"params": p}, x), axis=-1)
-    np.testing.assert_allclose(np.asarray(norms), 1.0, rtol=1e-5)
+    for kind in ("linear", "base", "optimized"):
+        cfg = ProjectionConfig(kind=kind, dim=128, dropout=0.0,
+                               l2_normalize_output=True)
+        m = make_projection(cfg)
+        p = m.init(jax.random.PRNGKey(0), x)["params"]
+        norms = jnp.linalg.norm(m.apply({"params": p}, x), axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(norms), 1.0, rtol=1e-5, err_msg=f"{kind} unfused")
 
     monkeypatch.setattr(fd, "FORCE_INTERPRET", True)
-    m_f = OptimizedProjectionHead(cfg=replace(cfg, fused_dense=True))
-    p_f = m_f.init(jax.random.PRNGKey(0), x)["params"]
-    norms_f = jnp.linalg.norm(m_f.apply({"params": p_f}, x), axis=-1)
-    np.testing.assert_allclose(np.asarray(norms_f), 1.0, rtol=1e-5)
+    for kind in ("base", "optimized"):
+        cfg = ProjectionConfig(kind=kind, dim=128, dropout=0.0,
+                               l2_normalize_output=True, fused_dense=True)
+        m_f = make_projection(cfg)
+        p_f = m_f.init(jax.random.PRNGKey(0), x)["params"]
+        norms_f = jnp.linalg.norm(m_f.apply({"params": p_f}, x), axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(norms_f), 1.0, rtol=1e-5, err_msg=f"{kind} fused")
 
 
 def test_base_projection_fused_routing(monkeypatch):

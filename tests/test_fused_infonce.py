@@ -248,3 +248,100 @@ def test_materialized_raw_matches_recompute(rng):
             np.asarray(x1), np.asarray(x0), atol=2e-4, rtol=1e-3,
             err_msg=f"{name} materialized mismatch",
         )
+
+
+def test_fused_multiway_matches_reference(rng):
+    """fused_multiway_clip_loss == infonce.multiway_clip_loss (loss + grads)
+    for the 3-way tf_clip shape (tf nb cell 41)."""
+    from clip_dplm_tpu.ops.fused_infonce import fused_multiway_clip_loss
+
+    B, D = 48, 24
+    embs = {
+        "cell": jnp.asarray(rng.normal(size=(B, D)).astype(np.float32)),
+        "pert": jnp.asarray(rng.normal(size=(B, D)).astype(np.float32)),
+        "protein": jnp.asarray(rng.normal(size=(B, D)).astype(np.float32)),
+    }
+    ls = jnp.asarray(np.float32(2.0))
+
+    def ref(c, p, pr, ls):
+        loss, _ = infonce.multiway_clip_loss(
+            {"cell": c, "pert": p, "protein": pr}, ls, label_smoothing=0.1)
+        return loss
+
+    def fused(c, p, pr, ls):
+        loss, _ = fused_multiway_clip_loss(
+            {"cell": c, "pert": p, "protein": pr}, ls, label_smoothing=0.1)
+        return loss
+
+    args = (embs["cell"], embs["pert"], embs["protein"], ls)
+    l_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1, 2, 3))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        l_f, g_f = jax.value_and_grad(fused, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    for gr, gf, name in zip(g_ref, g_f, ["dcell", "dpert", "dprot", "dls"]):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=2e-5, rtol=1e-4,
+            err_msg=f"{name} mismatch",
+        )
+
+    # per-pair loss metrics match the XLA formulation too
+    _, m_ref = infonce.multiway_clip_loss(embs, ls)
+    with pltpu.force_tpu_interpret_mode():
+        _, m_f = fused_multiway_clip_loss(embs, ls)
+    for k in ("loss_cell_pert", "loss_cell_protein", "loss_pert_protein"):
+        np.testing.assert_allclose(float(m_f[k]), float(m_ref[k]), rtol=1e-5)
+
+
+def test_fused_multiway_ring_matches_reference(mesh8, rng):
+    """Sharded 3-way loss through the ring kernels == full-batch XLA."""
+    from clip_dplm_tpu.ops.fused_infonce import fused_multiway_clip_loss
+
+    B, D = 32, 16
+    embs = {
+        "cell": jnp.asarray(rng.normal(size=(B, D)).astype(np.float32)),
+        "pert": jnp.asarray(rng.normal(size=(B, D)).astype(np.float32)),
+        "protein": jnp.asarray(rng.normal(size=(B, D)).astype(np.float32)),
+    }
+    ls = jnp.asarray(np.float32(2.0))
+    ref_loss, _ = infonce.multiway_clip_loss(embs, ls)
+
+    def inner(c, p, pr):
+        loss, _ = fused_multiway_clip_loss(
+            {"cell": c, "pert": p, "protein": pr}, ls, axis_name="data")
+        return loss
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.shard_map(
+            inner, mesh=mesh8.mesh,
+            in_specs=(P("data"), P("data"), P("data")), out_specs=P(),
+            check_vma=False,
+        )(embs["cell"], embs["pert"], embs["protein"])
+    np.testing.assert_allclose(float(got), float(ref_loss), rtol=1e-5)
+
+
+def test_materialized_raw_at_max_scale(rng):
+    """Int16 raw error enters the backward as err * effective_scale; the
+    'auto' mode must stay within useful gradient parity even when the learned
+    temperature has grown to the logit_scale_max clamp (scale = 100)."""
+    from clip_dplm_tpu.ops.fused_infonce import fused_symmetric_infonce
+
+    a, b = _pair(rng, B=200, D=48)
+    a, b = infonce.l2_normalize(a), infonce.l2_normalize(b)
+    scale = jnp.float32(100.0)  # at the clamp
+
+    def f(mat):
+        def loss(a, b, s):
+            return fused_symmetric_infonce(a, b, s, None, mat)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(a, b, scale)
+
+    with pltpu.force_tpu_interpret_mode():
+        (l0, g0) = f(False)
+        (l1, g1) = f(True)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for x0, x1, name in zip(g0, g1, ["da", "db", "dscale"]):
+        x0, x1 = np.asarray(x0), np.asarray(x1)
+        # relative-to-gradient-norm bound: the softmax normalization cancels
+        # most of the quantization error; require < 1% relative L2 error
+        denom = max(float(np.linalg.norm(x0)), 1e-12)
+        rel = float(np.linalg.norm(x1 - x0)) / denom
+        assert rel < 1e-2, f"{name} rel L2 err {rel:.2e} at max scale"

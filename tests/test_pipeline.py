@@ -128,3 +128,42 @@ def test_pipelined_esm_apply_matches_tower(rng):
         num_microbatches=4, pooling="mean_residues", dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_pipelined_esm_tower_wrapper(rng):
+    """PipelinedESMTower: same checkpoint layout as ESMTower (identical
+    param tree) and identical outputs through the GPipe trunk."""
+    import pytest
+
+    from clip_dplm_tpu.config import ESMConfig
+    from clip_dplm_tpu.data import protein
+    from clip_dplm_tpu.models.esm import ESMTower, PipelinedESMTower
+
+    cfg = ESMConfig(name="tiny", vocab_size=33, d_model=32, num_layers=4,
+                    num_heads=4, max_len=32, token_dropout=True)
+    seqs = [protein.random_protein(rng, 20) for _ in range(8)]
+    toks, mask = protein.tokenize_batch(seqs, pad_multiple=8)
+    toks, mask = jnp.asarray(toks), jnp.asarray(mask)
+
+    tower = ESMTower(cfg=cfg, dtype=jnp.float32)
+    params = tower.init(jax.random.key(0), toks, mask)["params"]
+    want = tower.apply({"params": params}, toks, mask,
+                       pooling="mean_residues")
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    ptower = PipelinedESMTower(cfg, mesh=mesh, pipe_axis="pipe",
+                               dtype=jnp.float32)
+    # checkpoint interchangeability: init produces the SAME tree as ESMTower
+    pvars = ptower.init(jax.random.key(0), toks, mask)
+    assert (jax.tree_util.tree_structure(pvars["params"])
+            == jax.tree_util.tree_structure(params))
+    got = ptower.apply({"params": params}, toks, mask,
+                       pooling="mean_residues")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    # layer count must split evenly across stages
+    bad = ESMConfig(name="tiny", vocab_size=33, d_model=32, num_layers=3,
+                    num_heads=4, max_len=32)
+    with pytest.raises(ValueError):
+        PipelinedESMTower(bad, mesh=mesh, pipe_axis="pipe")
