@@ -134,6 +134,15 @@ def attention_dispatch(
     return attention_reference(qh, kh, vh, mask=mask, scale=scale)
 
 
+def _short_attn_enabled() -> bool:
+    """Fused short-S multi-head kernel (ops/short_attention.py) below the
+    flash crossover. CLIP_DPLM_SHORT_ATTN=0 opts out (falls back to XLA's
+    batched formulation)."""
+    import os
+
+    return os.environ.get("CLIP_DPLM_SHORT_ATTN", "1") == "1"
+
+
 def multihead_attention(
     q: jax.Array,
     k: jax.Array,
@@ -143,6 +152,27 @@ def multihead_attention(
     use_flash: Optional[bool] = None,
 ) -> jax.Array:
     """Multi-head self/cross attention over (B, S, D) inputs."""
+    S, D = q.shape[1], q.shape[2]
+    # short self-attention: the fused multi-head kernel consumes the (B,S,D)
+    # layout directly — no head split/merge transposes, Dh unpadded, scores
+    # VMEM-only, single-kernel backward (ops/short_attention.py)
+    if (
+        use_flash is None
+        and _on_tpu()
+        and _short_attn_enabled()
+        and q.shape == k.shape == v.shape
+        and 64 <= S < _flash_min_seq()  # pads S to 128; tiny S stays on XLA
+        and D % num_heads == 0
+        and (D // num_heads) % 8 == 0
+        and (mask is None or mask.ndim == 2)
+    ):
+        import os
+
+        from clip_dplm_tpu.ops.short_attention import fused_short_attention
+
+        layout = os.environ.get("CLIP_DPLM_SHORT_ATTN_LAYOUT", "bsd")
+        return fused_short_attention(q, k, v, num_heads, mask=mask,
+                                     layout=layout)
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     out = attention_dispatch(qh, kh, vh, mask=mask, use_flash=use_flash)
     return _merge_heads(out)

@@ -1,0 +1,295 @@
+"""Pallas TPU fused multi-head attention for SHORT sequences (S <= ~256).
+
+The flagship token-transformer (rna nb cell 28: S=128, H=8, Dh=64) is exactly
+the regime where both standard formulations lose on TPU:
+
+  * XLA's batched path lowers to B*H tiny (S, Dh) x (Dh, S) matmuls and
+    materializes the (B, H, S, S) scores in HBM — measured ~8x over the
+    attention flop floor at S=128/Dh=64 on v5e (RESULTS.md r2);
+  * the flash kernel (ops/flash_attention.py) runs one program per (b, h)
+    pair — 8k programs of ~4 us of work — and its wrapper pads Dh 64 -> 128
+    in HBM, doubling q/k/v traffic (both measured slower, RESULTS.md r2).
+
+This kernel processes G whole batch rows per program, ALL heads unrolled
+in-register; scores never leave VMEM, Dh stays unpadded, and S fits one key
+block, so the softmax needs no online rescaling and the BACKWARD collapses to
+a single kernel that recomputes the (S, S) probabilities (bit-identical max/
+normalizer) and emits dq, dk, dv together — no lse/delta residuals at all.
+
+Two block layouts (measured on v5e, scripts/tpu_short_attn_probe.py):
+  * layout='bhsd' (default): blocks are (G, H, S, Dh) — per-head slices are
+    native sublane-tiled (S, Dh) arrays, no lane rotates. The wrapper takes
+    (B, S, D) and lets XLA produce the head-split layout (fused into the
+    producing matmul's epilogue).
+  * layout='bsd': blocks are (G, S, D) and heads are lane-offset slices —
+    zero XLA-side relayout, but Dh=64 slices at odd 64-lane offsets force
+    Mosaic relayouts that cost more than the saved transpose (measured
+    4.5 vs 3.6 ms XLA at the flagship shape; 'bhsd' wins instead).
+
+Masking: (B, S) key-validity (True = real token), same convention as
+ops/attention.py. Fully-padded rows produce zeros (normalizer clamped).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _vmem_params(q, G, n_bufs):
+    """Raise the scoped-VMEM limit above Mosaic's 16 MB default when the
+    blocks need it: a (G, H, S, Dh=64) block is lane-PADDED to 128 in VMEM,
+    so its footprint is 2x its HBM bytes; n_bufs blocks double-buffered.
+    v5e has far more physical VMEM than the 16 MB default limit."""
+    H = q.shape[1] if q.ndim == 4 else 1
+    S = q.shape[-2]
+    Dh_pad = _round_up(q.shape[-1], 128)
+    per_buf = G * H * S * Dh_pad * q.dtype.itemsize
+    need = int(2.2 * n_bufs * per_buf) + 4 * 2**20  # + scores/slack
+    if need <= 15 * 2**20:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=min(need, 110 * 2**20))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# kernels (layout-generic: refs are (G, S, D) for 'bsd', (G, H, S, Dh) for
+# 'bhsd'; bias is (G, 1, S) either way)
+# ---------------------------------------------------------------------------
+
+
+def _get_h(ref, g, h, heads, layout):
+    if layout == "bhsd":
+        return ref[g, h]
+    Dh = ref.shape[-1] // heads
+    return ref[g, :, h * Dh:(h + 1) * Dh]
+
+
+def _put_h(ref, g, h, heads, layout, val):
+    if layout == "bhsd":
+        ref[g, h] = val.astype(ref.dtype)
+    else:
+        Dh = ref.shape[-1] // heads
+        ref[g, :, h * Dh:(h + 1) * Dh] = val.astype(ref.dtype)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int,
+                scale: float, g_rows: int, layout: str):
+    # fori_loop over the G batch rows (dynamic leading-dim indexing) keeps
+    # the Mosaic program size at H bodies instead of G*H — the unrolled
+    # G=8 x H=8 variant took minutes to compile for no runtime gain
+    def row(g, _):
+        bias = bias_ref[g]  # (1, S) f32 additive key bias
+        for h in range(heads):
+            q = _get_h(q_ref, g, h, heads, layout)  # (S, Dh)
+            k = _get_h(k_ref, g, h, heads, layout)
+            v = _get_h(v_ref, g, h, heads, layout)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + bias  # (S, S)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / l
+            _put_h(o_ref, g, h, heads, layout, o)
+        return 0
+
+    jax.lax.fori_loop(0, g_rows, row, 0)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
+                dq_ref, dk_ref, dv_ref, *, heads: int, scale: float,
+                g_rows: int, layout: str):
+    def row(g, _):
+        bias = bias_ref[g]  # (1, S)
+        for h in range(heads):
+            q = _get_h(q_ref, g, h, heads, layout)
+            k = _get_h(k_ref, g, h, heads, layout)
+            v = _get_h(v_ref, g, h, heads, layout)
+            do = _get_h(do_ref, g, h, heads, layout).astype(jnp.float32)
+            o = _get_h(o_ref, g, h, heads, layout).astype(jnp.float32)
+            # recompute the probabilities EXACTLY as the forward did
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + bias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            prob = p / l  # (S, S) f32
+            delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (S, 1)
+            dp = jax.lax.dot_general(
+                do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (S, S)
+            ds = prob * (dp - delta) * scale
+            ds_c = ds.astype(k.dtype)
+            _put_h(dq_ref, g, h, heads, layout, jax.lax.dot_general(
+                ds_c, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            # dk = ds^T q, dv = prob^T do: contract over the ROW axis — no
+            # explicit transpose materializes
+            _put_h(dk_ref, g, h, heads, layout, jax.lax.dot_general(
+                ds_c, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            _put_h(dv_ref, g, h, heads, layout, jax.lax.dot_general(
+                prob.astype(do_ref.dtype), do.astype(do_ref.dtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        return 0
+
+    jax.lax.fori_loop(0, g_rows, row, 0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _io_spec(G, shape, layout):
+    if layout == "bhsd":
+        H, S, Dh = shape[1], shape[2], shape[3]
+        return pl.BlockSpec((G, H, S, Dh), lambda i: (i, 0, 0, 0))
+    S, D = shape[1], shape[2]
+    return pl.BlockSpec((G, S, D), lambda i: (i, 0, 0))
+
+
+def _fwd_call(q, k, v, bias, *, heads, scale, G, layout, interpret):
+    B = q.shape[0]
+    io = _io_spec(G, q.shape, layout)
+    bias_spec = pl.BlockSpec((G, 1, bias.shape[-1]), lambda i: (i, 0, 0))
+    kernel = functools.partial(_fwd_kernel, heads=heads, scale=scale,
+                               g_rows=G, layout=layout)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[io, io, io, bias_spec],
+        out_specs=io,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=_vmem_params(q, G, 4),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def _bwd_call(q, k, v, bias, do, o, *, heads, scale, G, layout, interpret):
+    B = q.shape[0]
+    io = _io_spec(G, q.shape, layout)
+    bias_spec = pl.BlockSpec((G, 1, bias.shape[-1]), lambda i: (i, 0, 0))
+    kernel = functools.partial(_bwd_kernel, heads=heads, scale=scale,
+                               g_rows=G, layout=layout)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[io, io, io, bias_spec, io, io],
+        out_specs=[io] * 3,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        compiler_params=_vmem_params(q, G, 9),
+        interpret=interpret,
+    )(q, k, v, bias, do, o)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _short_attn_core(q, k, v, bias, heads, scale, G, layout, interpret):
+    return _fwd_call(q, k, v, bias, heads=heads, scale=scale, G=G,
+                     layout=layout, interpret=interpret)
+
+
+def _short_attn_fwd(q, k, v, bias, heads, scale, G, layout, interpret):
+    o = _fwd_call(q, k, v, bias, heads=heads, scale=scale, G=G,
+                  layout=layout, interpret=interpret)
+    return o, (q, k, v, bias, o)
+
+
+def _short_attn_bwd(heads, scale, G, layout, interpret, res, do):
+    q, k, v, bias, o = res
+    dq, dk, dv = _bwd_call(q, k, v, bias, do.astype(q.dtype), o,
+                           heads=heads, scale=scale, G=G, layout=layout,
+                           interpret=interpret)
+    return dq, dk, dv, None
+
+
+_short_attn_core.defvjp(_short_attn_fwd, _short_attn_bwd)
+
+
+def fused_short_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_b: int = 8,
+    layout: str = "bhsd",
+    interpret: bool = False,
+) -> jax.Array:
+    """Multi-head self-attention over (B, S, D) inputs, D = num_heads * Dh.
+
+    Returns (B, S, D) — same contract as ops.attention.multihead_attention.
+    mask: (B, S) bool, True = real token. Requires self-attention (q/k/v of
+    one shape). layout: 'bhsd' (head-split blocks, default) or 'bsd'
+    (direct lane-sliced blocks) — see module docstring.
+    """
+    B, S, D = q.shape
+    if k.shape != q.shape or v.shape != q.shape:
+        raise ValueError("fused_short_attention requires q/k/v of equal "
+                         f"shape, got {q.shape} {k.shape} {v.shape}")
+    if D % num_heads:
+        raise ValueError(f"D={D} not divisible by num_heads={num_heads}")
+    if layout not in ("bhsd", "bsd"):
+        raise ValueError(f"unknown layout {layout!r}")
+    Dh = D // num_heads
+    if scale is None:
+        scale = 1.0 / (Dh ** 0.5)
+
+    Sp = _round_up(S, 128)
+    G = block_b
+    Bp = _round_up(B, G)
+    if mask is None:
+        mask = jnp.ones((B, S), dtype=bool)
+    maskp = mask
+    if Sp != S or Bp != B:
+        q = jnp.pad(q, ((0, Bp - B), (0, Sp - S), (0, 0)))
+        k = jnp.pad(k, ((0, Bp - B), (0, Sp - S), (0, 0)))
+        v = jnp.pad(v, ((0, Bp - B), (0, Sp - S), (0, 0)))
+        maskp = jnp.pad(mask, ((0, Bp - B), (0, Sp - S)))
+    bias = jnp.where(maskp, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+
+    if layout == "bhsd":
+        def split(t):
+            return t.reshape(Bp, Sp, num_heads, Dh).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+
+    o = _short_attn_core(q, k, v, bias, num_heads, float(scale), G, layout,
+                         interpret)
+    if layout == "bhsd":
+        o = o.transpose(0, 2, 1, 3).reshape(Bp, Sp, D)
+    if Sp != S or Bp != B:
+        o = o[:B, :S]
+    return o
+
+
+def short_attention_reference(q, k, v, num_heads, mask=None, scale=None):
+    """Pure-JAX parity target: head split -> softmax attention -> merge."""
+    from clip_dplm_tpu.ops.attention import (
+        _merge_heads, _split_heads, attention_reference,
+    )
+
+    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    return _merge_heads(attention_reference(qh, kh, vh, mask=mask,
+                                            scale=scale))

@@ -150,12 +150,21 @@ def main():
         device_planes += 1
         for line in plane.lines:
             ln = (line.name or "").lower()
-            if "step" in ln:  # step-marker lines double-count op time
+            # keep only the op-level timeline: module/step/queue lines
+            # double-count, async copy-start durations overlap compute
+            if any(x in ln for x in ("step", "module", "queue", "framework")):
                 continue
+            print(f"[line] {plane.name} :: {line.name}")
             for ev in line.events:
                 if ev.name.startswith("end:"):
                     continue
-                per_op[ev.name] += ev.duration_ns / 1e6  # ms total
+                name = ev.name
+                if name.startswith(("%copy-start", "%copy-done")):
+                    name = "(async copies, overlapped)"
+                if name.startswith(("jit_", "%while")):
+                    name = "(outer wrapper)"
+                per_op[name] += ev.duration_ns / 1e6  # ms total
+    per_op.pop("(outer wrapper)", None)
     if not device_planes:
         names = [p.name for p in pd.planes]
         raise SystemExit(f"no device plane found; planes: {names}")

@@ -1,0 +1,114 @@
+"""Fused short-S multi-head attention (ops/short_attention.py) == reference
+(values + gradients), incl. padding masks and non-aligned shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from clip_dplm_tpu.ops.short_attention import (
+    fused_short_attention,
+    short_attention_reference,
+)
+
+
+def _inputs(rng, B=4, S=128, D=128, masked=True):
+    q = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    if masked:
+        lens = rng.integers(S // 2, S + 1, B)
+        mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+    else:
+        mask = None
+    return q, k, v, mask
+
+
+@pytest.mark.parametrize("heads", [2, 4])
+@pytest.mark.parametrize("layout", ["bhsd", "bsd"])
+def test_forward_matches_reference(rng, heads, layout):
+    q, k, v, mask = _inputs(rng)
+    want = short_attention_reference(q, k, v, heads, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_short_attention(q, k, v, heads, mask=mask, block_b=2,
+                                    layout=layout, interpret=True)
+    valid = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * valid, np.asarray(want) * valid,
+        atol=1e-5, rtol=1e-4,
+    )
+
+
+def test_forward_no_mask(rng):
+    q, k, v, _ = _inputs(rng, masked=False)
+    want = short_attention_reference(q, k, v, 4)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_short_attention(q, k, v, 4, block_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("layout", ["bhsd", "bsd"])
+def test_gradients_match_reference(rng, layout):
+    q, k, v, mask = _inputs(rng, B=2, S=64, D=64)
+    heads = 2
+
+    # padded positions are zeroed downstream in the towers; restrict the
+    # cotangent to valid rows so both formulations see the same objective
+    w = mask[:, :, None].astype(jnp.float32)
+
+    def ref(q, k, v):
+        return jnp.sum(jnp.sin(
+            short_attention_reference(q, k, v, heads, mask=mask) * w))
+
+    def fused(q, k, v):
+        return jnp.sum(jnp.sin(fused_short_attention(
+            q, k, v, heads, mask=mask, block_b=2, layout=layout,
+            interpret=True) * w))
+
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(fused, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf, name in zip(g_ref, g_fused, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=2e-5, rtol=1e-3,
+            err_msg=f"{name} mismatch",
+        )
+
+
+def test_unaligned_shapes_padded(rng):
+    """S and B not multiples of the block sizes: wrapper pads, results match
+    on the real rows."""
+    q, k, v, mask = _inputs(rng, B=3, S=100, D=64)
+    want = short_attention_reference(q, k, v, 2, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_short_attention(q, k, v, 2, mask=mask, block_b=2,
+                                    interpret=True)
+    valid = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * valid, np.asarray(want) * valid,
+        atol=1e-5, rtol=1e-4,
+    )
+
+
+def test_rejects_bad_shapes(rng):
+    q, k, v, _ = _inputs(rng, B=2, S=32, D=64, masked=False)
+    with pytest.raises(ValueError):
+        fused_short_attention(q, k[:, :16], v, 2, interpret=True)
+    with pytest.raises(ValueError):
+        fused_short_attention(q, k, v, 3, interpret=True)
+
+
+def test_bf16_close_to_f32(rng):
+    q, k, v, mask = _inputs(rng)
+    want = short_attention_reference(q, k, v, 4, mask=mask)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_short_attention(qb, kb, vb, 4, mask=mask, block_b=2,
+                                    interpret=True)
+    valid = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32) * valid, np.asarray(want) * valid,
+        atol=0.05, rtol=0.05,
+    )
