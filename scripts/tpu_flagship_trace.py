@@ -24,6 +24,65 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def build_two_tower(what: str, iters: int, overrides=()):
+    """TRACE_MODEL=two_tower: the headline bench step (bench.py config)."""
+    from clip_dplm_tpu.config import Config, apply_overrides
+    from clip_dplm_tpu.models import TwoTowerCLIP
+    from clip_dplm_tpu.train import create_train_state, make_train_step
+
+    B = int(os.environ.get("BENCH_B", 8192))
+    cfg = apply_overrides(
+        Config(),
+        [
+            "tower_a.input_dim=256", "tower_a.hidden_size=1024",
+            "tower_a.num_hidden_layers=3",
+            "tower_b.input_dim=1280", "tower_b.hidden_size=1024",
+            "tower_b.num_hidden_layers=3",
+            "projection.dim=512",
+            f"train.batch_size={B}",
+            "train.optim.total_steps=1000",
+            "contrastive.use_fused_kernel=true",
+            "train.rng_impl=unsafe_rbg",
+            "train.optim.moment_dtype=bfloat16",
+            "tower_a.fused_dense=true", "tower_b.fused_dense=true",
+            "projection.fused_dense=true",
+        ] + list(overrides),
+    )
+    model = TwoTowerCLIP(cfg=cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "a": jnp.asarray(rng.normal(size=(B, 256)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(B, 1280)).astype(np.float32)),
+    }
+    state = create_train_state(model, cfg, batch)
+    if what == "full":
+        step = make_train_step(cfg)
+
+        @jax.jit
+        def run(state, batch):
+            def body(s, _):
+                s, m = step(s, batch)
+                return s, m["loss"]
+            state, losses = jax.lax.scan(body, state, None, length=iters)
+            return losses[-1]
+
+        return run, (state, batch)
+
+    @jax.jit
+    def run(params, b):
+        def body(c, _):
+            out = model.apply(
+                {"params": params},
+                {"a": b["a"] + 1e-9 * c, "b": b["b"] + 1e-9 * c},
+                deterministic=True)
+            return (jnp.sum(out["emb_a"]) + jnp.sum(out["emb_b"])).astype(
+                jnp.float32) * 1e-9, ()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    return run, (state.params, batch)
+
+
 def build(what: str, iters: int, overrides=()):
     from clip_dplm_tpu.config import Config, apply_overrides
     from clip_dplm_tpu.models.token_towers import RNARBPCLIP
@@ -120,7 +179,9 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 20))
     topk = int(os.environ.get("TRACE_TOPK", 40))
     overrides = [o for o in os.environ.get("BENCH_OVERRIDES", "").split(",") if o]
-    run, args = build(what, iters, overrides)
+    builder = (build_two_tower
+               if os.environ.get("TRACE_MODEL") == "two_tower" else build)
+    run, args = builder(what, iters, overrides)
 
     # warmup/compile
     out = run(*args)
@@ -149,10 +210,9 @@ def main():
             continue
         device_planes += 1
         for line in plane.lines:
-            ln = (line.name or "").lower()
-            # keep only the op-level timeline: module/step/queue lines
-            # double-count, async copy-start durations overlap compute
-            if any(x in ln for x in ("step", "module", "queue", "framework")):
+            # keep ONLY the synchronous op timeline ("XLA Ops"): the module,
+            # step, async and overlay lines double-count the same intervals
+            if line.name != "XLA Ops":
                 continue
             print(f"[line] {plane.name} :: {line.name}")
             for ev in line.events:
