@@ -43,6 +43,7 @@ def test_ring_matches_reference_fwd(mesh8, rng, masked):
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ring_matches_reference_grads(mesh8, rng):
     B, H, S, Dh = 1, 2, 128, 16
     q, k, v = _qkv(rng, B, H, S, Dh)
@@ -70,6 +71,7 @@ def test_ring_matches_reference_grads(mesh8, rng):
         )
 
 
+@pytest.mark.slow
 def test_pallas_ring_vjp_tiny_interpret(rng):
     """The Pallas ring core's custom VJP (dK/dV travelling with their shard)
     against the XLA ring, on a 2-device submesh at interpret-friendly sizes."""
@@ -99,6 +101,7 @@ def test_pallas_ring_vjp_tiny_interpret(rng):
         )
 
 
+@pytest.mark.slow
 def test_esm_tower_sequence_parallel_matches_single(mesh8, rng):
     """ESMTower(seq_axis=...) under shard_map over the sequence == the plain
     single-device tower: ring attention, global rotary positions, psum'd
