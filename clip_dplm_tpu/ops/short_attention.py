@@ -84,8 +84,13 @@ def _put_h(ref, g, h, heads, layout, val):
         ref[g, :, h * Dh:(h + 1) * Dh] = val.astype(ref.dtype)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int,
-                scale: float, g_rows: int, layout: str):
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, *out_refs, heads: int,
+                scale: float, g_rows: int, layout: str, save_probs: bool):
+    if save_probs:
+        o_ref, probs_ref = out_refs
+    else:
+        (o_ref,) = out_refs
+
     # fori_loop over the G batch rows (dynamic leading-dim indexing) keeps
     # the Mosaic program size at H bodies instead of G*H — the unrolled
     # G=8 x H=8 variant took minutes to compile for no runtime gain
@@ -107,14 +112,27 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, heads: int,
                 preferred_element_type=jnp.float32,
             ) / l
             _put_h(o_ref, g, h, heads, layout, o)
+            if save_probs:
+                # normalized probs in bf16 — the backward reads these
+                # instead of recomputing the scores matmul + softmax
+                probs_ref[g, h] = (p / l).astype(probs_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, g_rows, row, 0)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
-                dq_ref, dk_ref, dv_ref, *, heads: int, scale: float,
-                g_rows: int, layout: str):
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, *refs,
+                heads: int, scale: float, g_rows: int, layout: str,
+                save_probs: bool):
+    refs = list(refs)
+    if save_probs:
+        probs_ref = refs.pop(0)
+        o_ref = None
+    else:
+        o_ref = refs.pop(0)
+        probs_ref = None
+    dq_ref, dk_ref, dv_ref = refs
+
     def row(g, _):
         bias = bias_ref[g]  # (1, S)
         for h in range(heads):
@@ -122,21 +140,26 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
             k = _get_h(k_ref, g, h, heads, layout)
             v = _get_h(v_ref, g, h, heads, layout)
             do = _get_h(do_ref, g, h, heads, layout).astype(jnp.float32)
-            o = _get_h(o_ref, g, h, heads, layout).astype(jnp.float32)
-            # recompute the probabilities EXACTLY as the forward did
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale + bias
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
-            prob = p / l  # (S, S) f32
-            delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (S, 1)
             dp = jax.lax.dot_general(
                 do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (S, S)
+            if save_probs:
+                prob = probs_ref[g, h].astype(jnp.float32)  # (S, S)
+                # delta_i = sum_d do*o = sum_j P_ij dp_ij — o never read
+                delta = jnp.sum(dp * prob, axis=-1, keepdims=True)
+            else:
+                # recompute the probabilities EXACTLY as the forward did
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale + bias
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+                prob = p / l  # (S, S) f32
+                o = _get_h(o_ref, g, h, heads, layout).astype(jnp.float32)
+                delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (S, 1)
             ds = prob * (dp - delta) * scale
             ds_c = ds.astype(k.dtype)
             _put_h(dq_ref, g, h, heads, layout, jax.lax.dot_general(
@@ -169,55 +192,88 @@ def _io_spec(G, shape, layout):
     return pl.BlockSpec((G, S, D), lambda i: (i, 0, 0))
 
 
-def _fwd_call(q, k, v, bias, *, heads, scale, G, layout, interpret):
+def _probs_spec(G, heads, S):
+    return pl.BlockSpec((G, heads, S, S), lambda i: (i, 0, 0, 0))
+
+
+def _fwd_call(q, k, v, bias, *, heads, scale, G, layout, interpret,
+              save_probs):
     B = q.shape[0]
+    S = q.shape[-2] if layout == "bhsd" else q.shape[1]
     io = _io_spec(G, q.shape, layout)
     bias_spec = pl.BlockSpec((G, 1, bias.shape[-1]), lambda i: (i, 0, 0))
     kernel = functools.partial(_fwd_kernel, heads=heads, scale=scale,
-                               g_rows=G, layout=layout)
-    return pl.pallas_call(
+                               g_rows=G, layout=layout,
+                               save_probs=save_probs)
+    out_specs = [io]
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    if save_probs:
+        out_specs.append(_probs_spec(G, heads, S))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, heads, S, S), jnp.bfloat16))
+    outs = pl.pallas_call(
         kernel,
         grid=(B // G,),
         in_specs=[io, io, io, bias_spec],
-        out_specs=io,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        compiler_params=_vmem_params(q, G, 4),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_vmem_params(q, G, 6 if save_probs else 4),
         interpret=interpret,
     )(q, k, v, bias)
+    if save_probs:
+        return outs[0], outs[1]
+    return outs[0], None
 
 
-def _bwd_call(q, k, v, bias, do, o, *, heads, scale, G, layout, interpret):
+def _bwd_call(q, k, v, bias, do, o, probs, *, heads, scale, G, layout,
+              interpret):
     B = q.shape[0]
+    S = q.shape[-2] if layout == "bhsd" else q.shape[1]
     io = _io_spec(G, q.shape, layout)
     bias_spec = pl.BlockSpec((G, 1, bias.shape[-1]), lambda i: (i, 0, 0))
     kernel = functools.partial(_bwd_kernel, heads=heads, scale=scale,
-                               g_rows=G, layout=layout)
+                               g_rows=G, layout=layout,
+                               save_probs=probs is not None)
+    in_specs = [io, io, io, bias_spec, io]
+    args = [q, k, v, bias, do]
+    if probs is not None:
+        in_specs.append(_probs_spec(G, heads, S))
+        args.append(probs)
+    else:
+        in_specs.append(io)
+        args.append(o)
     return pl.pallas_call(
         kernel,
         grid=(B // G,),
-        in_specs=[io, io, io, bias_spec, io, io],
+        in_specs=in_specs,
         out_specs=[io] * 3,
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
-        compiler_params=_vmem_params(q, G, 9),
+        compiler_params=_vmem_params(q, G, 11 if probs is not None else 9),
         interpret=interpret,
-    )(q, k, v, bias, do, o)
+    )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _short_attn_core(q, k, v, bias, heads, scale, G, layout, interpret):
-    return _fwd_call(q, k, v, bias, heads=heads, scale=scale, G=G,
-                     layout=layout, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _short_attn_core(q, k, v, bias, heads, scale, G, layout, interpret,
+                     save_probs):
+    o, _ = _fwd_call(q, k, v, bias, heads=heads, scale=scale, G=G,
+                     layout=layout, interpret=interpret,
+                     save_probs=save_probs)
+    return o
 
 
-def _short_attn_fwd(q, k, v, bias, heads, scale, G, layout, interpret):
-    o = _fwd_call(q, k, v, bias, heads=heads, scale=scale, G=G,
-                  layout=layout, interpret=interpret)
-    return o, (q, k, v, bias, o)
+def _short_attn_fwd(q, k, v, bias, heads, scale, G, layout, interpret,
+                    save_probs):
+    o, probs = _fwd_call(q, k, v, bias, heads=heads, scale=scale, G=G,
+                         layout=layout, interpret=interpret,
+                         save_probs=save_probs)
+    # with saved probs the backward never reads o (delta comes from dp*P)
+    return o, (q, k, v, bias, None if save_probs else o, probs)
 
 
-def _short_attn_bwd(heads, scale, G, layout, interpret, res, do):
-    q, k, v, bias, o = res
-    dq, dk, dv = _bwd_call(q, k, v, bias, do.astype(q.dtype), o,
+def _short_attn_bwd(heads, scale, G, layout, interpret, save_probs, res, do):
+    q, k, v, bias, o, probs = res
+    dq, dk, dv = _bwd_call(q, k, v, bias, do.astype(q.dtype), o, probs,
                            heads=heads, scale=scale, G=G, layout=layout,
                            interpret=interpret)
     return dq, dk, dv, None
@@ -235,6 +291,7 @@ def fused_short_attention(
     scale: Optional[float] = None,
     block_b: int = 8,
     layout: str = "bhsd",
+    save_probs: Optional[bool] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Multi-head self-attention over (B, S, D) inputs, D = num_heads * Dh.
@@ -243,6 +300,13 @@ def fused_short_attention(
     mask: (B, S) bool, True = real token. Requires self-attention (q/k/v of
     one shape). layout: 'bhsd' (head-split blocks, default) or 'bsd'
     (direct lane-sliced blocks) — see module docstring.
+
+    save_probs: store the normalized (B, H, S, S) probabilities in bf16 from
+    the forward so the backward skips the scores matmul + softmax recompute
+    (4 dots per head instead of 5 — the backward is dot-instruction-bound).
+    Costs the probs buffer in HBM; None = auto (on while the buffer stays
+    under 512 MB). bf16 probs bound the extra dq/dk gradient error at the
+    bf16 rounding the forward's own p@v matmul already applies.
     """
     B, S, D = q.shape
     if k.shape != q.shape or v.shape != q.shape:
@@ -275,8 +339,11 @@ def fused_short_attention(
 
         q, k, v = split(q), split(k), split(v)
 
+    if save_probs is None:
+        save_probs = Bp * num_heads * Sp * Sp * 2 <= 512 * 1024 * 1024
+
     o = _short_attn_core(q, k, v, bias, num_heads, float(scale), G, layout,
-                         interpret)
+                         interpret, bool(save_probs))
     if layout == "bhsd":
         o = o.transpose(0, 2, 1, 3).reshape(Bp, Sp, D)
     if Sp != S or Bp != B:

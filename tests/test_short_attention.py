@@ -65,7 +65,7 @@ def test_gradients_match_reference(rng, layout):
     def fused(q, k, v):
         return jnp.sum(jnp.sin(fused_short_attention(
             q, k, v, heads, mask=mask, block_b=2, layout=layout,
-            interpret=True) * w))
+            save_probs=False, interpret=True) * w))
 
     g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
     with pltpu.force_tpu_interpret_mode():
@@ -75,6 +75,21 @@ def test_gradients_match_reference(rng, layout):
             np.asarray(gf), np.asarray(gr), atol=2e-5, rtol=1e-3,
             err_msg=f"{name} mismatch",
         )
+
+    # save_probs=True: the backward reads bf16 probabilities instead of
+    # recomputing the softmax — gradients match to bf16 rounding
+    def fused_p(q, k, v):
+        return jnp.sum(jnp.sin(fused_short_attention(
+            q, k, v, heads, mask=mask, block_b=2, layout=layout,
+            save_probs=True, interpret=True) * w))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_probs = jax.grad(fused_p, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf, name in zip(g_ref, g_probs, ["dq", "dk", "dv"]):
+        gr, gf = np.asarray(gr), np.asarray(gf)
+        denom = max(float(np.linalg.norm(gr)), 1e-12)
+        rel = float(np.linalg.norm(gf - gr)) / denom
+        assert rel < 2e-2, f"{name} rel L2 err {rel:.2e} with saved probs"
 
 
 def test_unaligned_shapes_padded(rng):
