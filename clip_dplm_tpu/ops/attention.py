@@ -143,6 +143,33 @@ def _short_attn_enabled() -> bool:
     return os.environ.get("CLIP_DPLM_SHORT_ATTN", "1") == "1"
 
 
+def packed_qkv_attention(
+    qkv: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> Optional[jax.Array]:
+    """Try the packed short-S kernel on an unsplit (B, S, 3D) qkv tensor —
+    the jnp.split copies (and their backward concat) never materialize.
+    Returns None when the shape regime doesn't qualify (caller splits and
+    goes through multihead_attention instead)."""
+    B, S, D3 = qkv.shape
+    if D3 % 3:
+        return None
+    D = D3 // 3
+    if (
+        _on_tpu()
+        and _short_attn_enabled()
+        and 64 <= S < _flash_min_seq()
+        and D % num_heads == 0
+        and (D // num_heads) % 8 == 0
+        and (mask is None or mask.ndim == 2)
+    ):
+        from clip_dplm_tpu.ops.short_attention import fused_short_attention_qkv
+
+        return fused_short_attention_qkv(qkv, num_heads, mask=mask)
+    return None
+
+
 def multihead_attention(
     q: jax.Array,
     k: jax.Array,

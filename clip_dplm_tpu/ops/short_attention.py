@@ -84,6 +84,104 @@ def _put_h(ref, g, h, heads, layout, val):
         ref[g, :, h * Dh:(h + 1) * Dh] = val.astype(ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# packed-qkv kernels: consume the qkv Dense output (B, S, 3D) DIRECTLY and
+# emit dqkv (B, S, 3D) — the jnp.split(qkv) copies in the forward (3 slice
+# materializations per block) and their concat transposes in the backward
+# never exist (trace r3: ~0.4 ms per slice, 18 of them per step).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_qkv(qkv_ref, bias_ref, *out_refs, heads: int, scale: float,
+                    g_rows: int, save_probs: bool):
+    if save_probs:
+        o_ref, probs_ref = out_refs
+    else:
+        (o_ref,) = out_refs
+    D = qkv_ref.shape[-1] // 3
+    Dh = D // heads
+
+    def row(g, _):
+        bias = bias_ref[g]  # (1, S)
+        for h in range(heads):
+            q = qkv_ref[g, :, h * Dh:(h + 1) * Dh]
+            k = qkv_ref[g, :, D + h * Dh:D + (h + 1) * Dh]
+            v = qkv_ref[g, :, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + bias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / l
+            o_ref[g, :, h * Dh:(h + 1) * Dh] = o.astype(o_ref.dtype)
+            if save_probs:
+                probs_ref[g, h] = (p / l).astype(probs_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, g_rows, row, 0)
+
+
+def _bwd_kernel_qkv(qkv_ref, bias_ref, do_ref, *refs, heads: int,
+                    scale: float, g_rows: int, save_probs: bool):
+    refs = list(refs)
+    if save_probs:
+        probs_ref = refs.pop(0)
+        o_ref = None
+    else:
+        o_ref = refs.pop(0)
+        probs_ref = None
+    (dqkv_ref,) = refs
+    D = qkv_ref.shape[-1] // 3
+    Dh = D // heads
+
+    def row(g, _):
+        bias = bias_ref[g]
+        for h in range(heads):
+            q = qkv_ref[g, :, h * Dh:(h + 1) * Dh]
+            k = qkv_ref[g, :, D + h * Dh:D + (h + 1) * Dh]
+            v = qkv_ref[g, :, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
+            do = do_ref[g, :, h * Dh:(h + 1) * Dh].astype(jnp.float32)
+            dp = jax.lax.dot_general(
+                do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if save_probs:
+                prob = probs_ref[g, h].astype(jnp.float32)
+                delta = jnp.sum(dp * prob, axis=-1, keepdims=True)
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale + bias
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+                prob = p / l
+                o = o_ref[g, :, h * Dh:(h + 1) * Dh].astype(jnp.float32)
+                delta = jnp.sum(do * o, axis=-1, keepdims=True)
+            ds = prob * (dp - delta) * scale
+            ds_c = ds.astype(k.dtype)
+            dqkv_ref[g, :, h * Dh:(h + 1) * Dh] = jax.lax.dot_general(
+                ds_c, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, D + h * Dh:D + (h + 1) * Dh] = jax.lax.dot_general(
+                ds_c, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, 2 * D + h * Dh:2 * D + (h + 1) * Dh] = (
+                jax.lax.dot_general(
+                    prob.astype(do_ref.dtype), do.astype(do_ref.dtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dqkv_ref.dtype))
+        return 0
+
+    jax.lax.fori_loop(0, g_rows, row, 0)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, *out_refs, heads: int,
                 scale: float, g_rows: int, layout: str, save_probs: bool):
     if save_probs:
@@ -280,6 +378,128 @@ def _short_attn_bwd(heads, scale, G, layout, interpret, save_probs, res, do):
 
 
 _short_attn_core.defvjp(_short_attn_fwd, _short_attn_bwd)
+
+
+def _qkv_specs(G, S, D3):
+    return pl.BlockSpec((G, S, D3), lambda i: (i, 0, 0))
+
+
+def _fwd_call_qkv(qkv, bias, *, heads, scale, G, interpret, save_probs):
+    B, S, D3 = qkv.shape
+    io = _qkv_specs(G, S, D3)
+    o_spec = pl.BlockSpec((G, S, D3 // 3), lambda i: (i, 0, 0))
+    bias_spec = pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0))
+    kernel = functools.partial(_fwd_kernel_qkv, heads=heads, scale=scale,
+                               g_rows=G, save_probs=save_probs)
+    out_specs = [o_spec]
+    out_shape = [jax.ShapeDtypeStruct((B, S, D3 // 3), qkv.dtype)]
+    if save_probs:
+        out_specs.append(_probs_spec(G, heads, S))
+        out_shape.append(jax.ShapeDtypeStruct((B, heads, S, S), jnp.bfloat16))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=[io, bias_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_vmem_params(qkv, G, 3 if save_probs else 2),
+        interpret=interpret,
+    )(qkv, bias)
+    if save_probs:
+        return outs[0], outs[1]
+    return outs[0], None
+
+
+def _bwd_call_qkv(qkv, bias, do, o, probs, *, heads, scale, G, interpret):
+    B, S, D3 = qkv.shape
+    io = _qkv_specs(G, S, D3)
+    d_spec = pl.BlockSpec((G, S, D3 // 3), lambda i: (i, 0, 0))
+    bias_spec = pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0))
+    kernel = functools.partial(_bwd_kernel_qkv, heads=heads, scale=scale,
+                               g_rows=G, save_probs=probs is not None)
+    in_specs = [io, bias_spec, d_spec]
+    args = [qkv, bias, do]
+    if probs is not None:
+        in_specs.append(_probs_spec(G, heads, S))
+        args.append(probs)
+    else:
+        in_specs.append(d_spec)
+        args.append(o)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // G,),
+        in_specs=in_specs,
+        out_specs=io,
+        out_shape=jax.ShapeDtypeStruct((B, S, D3), qkv.dtype),
+        compiler_params=_vmem_params(qkv, G, 5 if probs is not None else 4),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _short_attn_core_qkv(qkv, bias, heads, scale, G, interpret, save_probs):
+    o, _ = _fwd_call_qkv(qkv, bias, heads=heads, scale=scale, G=G,
+                         interpret=interpret, save_probs=save_probs)
+    return o
+
+
+def _short_attn_qkv_fwd(qkv, bias, heads, scale, G, interpret, save_probs):
+    o, probs = _fwd_call_qkv(qkv, bias, heads=heads, scale=scale, G=G,
+                             interpret=interpret, save_probs=save_probs)
+    return o, (qkv, bias, None if save_probs else o, probs)
+
+
+def _short_attn_qkv_bwd(heads, scale, G, interpret, save_probs, res, do):
+    qkv, bias, o, probs = res
+    dqkv = _bwd_call_qkv(qkv, bias, do.astype(qkv.dtype), o, probs,
+                         heads=heads, scale=scale, G=G, interpret=interpret)
+    return dqkv, None
+
+
+_short_attn_core_qkv.defvjp(_short_attn_qkv_fwd, _short_attn_qkv_bwd)
+
+
+def fused_short_attention_qkv(
+    qkv: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_b: int = 8,
+    save_probs: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed variant: consumes the qkv projection output (B, S, 3D) with
+    the [q | k | v] concatenation layout of a single 3D-wide Dense, returns
+    the (B, S, D) attention output. The jnp.split(qkv) slice copies and
+    their backward concat never materialize — dqkv flows straight back into
+    the qkv Dense VJP. Otherwise identical to fused_short_attention
+    (layout='bsd' semantics)."""
+    B, S, D3 = qkv.shape
+    if D3 % 3:
+        raise ValueError(f"packed qkv needs last dim divisible by 3, got {D3}")
+    D = D3 // 3
+    if D % num_heads:
+        raise ValueError(f"D={D} not divisible by num_heads={num_heads}")
+    Dh = D // num_heads
+    if scale is None:
+        scale = 1.0 / (Dh ** 0.5)
+    Sp = _round_up(S, 128)
+    G = block_b
+    Bp = _round_up(B, G)
+    if mask is None:
+        mask = jnp.ones((B, S), dtype=bool)
+    maskp = mask
+    if Sp != S or Bp != B:
+        qkv = jnp.pad(qkv, ((0, Bp - B), (0, Sp - S), (0, 0)))
+        maskp = jnp.pad(mask, ((0, Bp - B), (0, Sp - S)))
+    bias = jnp.where(maskp, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+    if save_probs is None:
+        save_probs = Bp * num_heads * Sp * Sp * 2 <= 512 * 1024 * 1024
+    o = _short_attn_core_qkv(qkv, bias, num_heads, float(scale), G,
+                             interpret, bool(save_probs))
+    if Sp != S or Bp != B:
+        o = o[:B, :S]
+    return o
 
 
 def fused_short_attention(

@@ -92,6 +92,46 @@ def test_gradients_match_reference(rng, layout):
         assert rel < 2e-2, f"{name} rel L2 err {rel:.2e} with saved probs"
 
 
+def test_packed_qkv_matches_reference(rng):
+    """fused_short_attention_qkv on unsplit (B, S, 3D) == split + reference
+    (values + gradients through the packed dqkv)."""
+    from clip_dplm_tpu.ops.short_attention import fused_short_attention_qkv
+
+    q, k, v, mask = _inputs(rng, B=2, S=64, D=64)
+    heads = 2
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    w = mask[:, :, None].astype(jnp.float32)
+
+    def ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return jnp.sum(jnp.sin(
+            short_attention_reference(q, k, v, heads, mask=mask) * w))
+
+    def fused(qkv):
+        return jnp.sum(jnp.sin(fused_short_attention_qkv(
+            qkv, heads, mask=mask, block_b=2, save_probs=False,
+            interpret=True) * w))
+
+    l_ref, g_ref = jax.value_and_grad(ref)(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        l_f, g_f = jax.value_and_grad(fused)(qkv)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_f), np.asarray(g_ref), atol=2e-5, rtol=1e-3)
+
+    # saved-probs packed backward: rel-L2 gate
+    def fused_p(qkv):
+        return jnp.sum(jnp.sin(fused_short_attention_qkv(
+            qkv, heads, mask=mask, block_b=2, save_probs=True,
+            interpret=True) * w))
+
+    with pltpu.force_tpu_interpret_mode():
+        _, g_p = jax.value_and_grad(fused_p)(qkv)
+    gr, gf = np.asarray(g_ref), np.asarray(g_p)
+    rel = float(np.linalg.norm(gf - gr)) / max(float(np.linalg.norm(gr)), 1e-12)
+    assert rel < 2e-2, f"packed saved-probs rel L2 err {rel:.2e}"
+
+
 def test_unaligned_shapes_padded(rng):
     """S and B not multiples of the block sizes: wrapper pads, results match
     on the real rows."""
