@@ -238,21 +238,30 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
         from clip_dplm_tpu.ops.attention import (
-            multihead_attention, packed_qkv_attention,
+            multihead_attention,
+            packed_qkv_attention_proj,
+            short_attn_packed_ok,
         )
 
         h = nn.LayerNorm(dtype=self.ln_dtype, param_dtype=self.param_dtype,
                          name="ln_attn")(x).astype(self.dtype)
         qkv = nn.Dense(3 * self.d_model, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="qkv")(h)
-        # packed path: the short-S kernel consumes qkv unsplit, so the
-        # jnp.split copies (and their backward concat) never materialize
-        attn = packed_qkv_attention(qkv, self.num_heads, mask=mask)
-        if attn is None:
+        if short_attn_packed_ok(qkv.shape, self.num_heads, mask):
+            # packed path: the short-S kernel consumes qkv unsplit (no
+            # jnp.split copies or backward concat) and the out-projection
+            # runs inside the kernel on the VMEM-resident attention output
+            dp = _DenseParams(features=self.d_model,
+                              param_dtype=self.param_dtype, name="out_proj")
+            wo, bo = dp(self.d_model)
+            attn = packed_qkv_attention_proj(qkv, wo, bo, self.num_heads,
+                                             mask=mask)
+        else:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             attn = multihead_attention(q, k, v, self.num_heads, mask=mask)
-        attn = nn.Dense(self.d_model, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="out_proj")(attn)
+            attn = nn.Dense(self.d_model, dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name="out_proj")(attn)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         x = x + attn
 

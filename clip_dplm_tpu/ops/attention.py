@@ -143,6 +143,28 @@ def _short_attn_enabled() -> bool:
     return os.environ.get("CLIP_DPLM_SHORT_ATTN", "1") == "1"
 
 
+def short_attn_packed_ok(qkv_shape, num_heads: int, mask) -> bool:
+    """True when the packed short-S kernel handles this (B, S, 3D) shape."""
+    S, D3 = qkv_shape[1], qkv_shape[2]
+    if D3 % 3:
+        return False
+    D = D3 // 3
+    return (
+        _on_tpu()
+        and _short_attn_enabled()
+        and 64 <= S < _flash_min_seq()
+        and D % num_heads == 0
+        and (D // num_heads) % 8 == 0
+        and (mask is None or mask.ndim == 2)
+    )
+
+
+def _short_attn_g() -> int:
+    import os
+
+    return int(os.environ.get("CLIP_DPLM_SHORT_ATTN_G", "8"))
+
+
 def packed_qkv_attention(
     qkv: jax.Array,
     num_heads: int,
@@ -152,22 +174,29 @@ def packed_qkv_attention(
     the jnp.split copies (and their backward concat) never materialize.
     Returns None when the shape regime doesn't qualify (caller splits and
     goes through multihead_attention instead)."""
-    B, S, D3 = qkv.shape
-    if D3 % 3:
-        return None
-    D = D3 // 3
-    if (
-        _on_tpu()
-        and _short_attn_enabled()
-        and 64 <= S < _flash_min_seq()
-        and D % num_heads == 0
-        and (D // num_heads) % 8 == 0
-        and (mask is None or mask.ndim == 2)
-    ):
+    if short_attn_packed_ok(qkv.shape, num_heads, mask):
         from clip_dplm_tpu.ops.short_attention import fused_short_attention_qkv
 
-        return fused_short_attention_qkv(qkv, num_heads, mask=mask)
+        return fused_short_attention_qkv(qkv, num_heads, mask=mask,
+                                         block_b=_short_attn_g())
     return None
+
+
+def packed_qkv_attention_proj(
+    qkv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Packed attention with the out-projection fused into the kernel
+    (caller must have checked short_attn_packed_ok)."""
+    from clip_dplm_tpu.ops.short_attention import (
+        fused_short_attention_qkv_proj,
+    )
+
+    return fused_short_attention_qkv_proj(
+        qkv, wo, bo, num_heads, mask=mask, block_b=_short_attn_g())
 
 
 def multihead_attention(

@@ -92,12 +92,14 @@ def _put_h(ref, g, h, heads, layout, val):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel_qkv(qkv_ref, bias_ref, *out_refs, heads: int, scale: float,
-                    g_rows: int, save_probs: bool):
-    if save_probs:
-        o_ref, probs_ref = out_refs
-    else:
-        (o_ref,) = out_refs
+def _fwd_kernel_qkv(qkv_ref, bias_ref, *refs, heads: int, scale: float,
+                    g_rows: int, save_probs: bool, with_proj: bool):
+    refs = list(refs)
+    wo_ref = refs.pop(0) if with_proj else None
+    bo_ref = refs.pop(0) if with_proj else None
+    o_ref = refs.pop(0)
+    probs_ref = refs.pop(0) if save_probs else None
+    y_ref = refs.pop(0) if with_proj else None
     D = qkv_ref.shape[-1] // 3
     Dh = D // heads
 
@@ -121,14 +123,24 @@ def _fwd_kernel_qkv(qkv_ref, bias_ref, *out_refs, heads: int, scale: float,
             o_ref[g, :, h * Dh:(h + 1) * Dh] = o.astype(o_ref.dtype)
             if save_probs:
                 probs_ref[g, h] = (p / l).astype(probs_ref.dtype)
+        if with_proj:
+            # out-projection rides the same program: y = o @ Wo + bo
+            # (o just written is VMEM-resident in the output block)
+            y = jax.lax.dot_general(
+                o_ref[g], wo_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bo_ref[:].astype(jnp.float32)
+            y_ref[g] = y.astype(y_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, g_rows, row, 0)
 
 
 def _bwd_kernel_qkv(qkv_ref, bias_ref, do_ref, *refs, heads: int,
-                    scale: float, g_rows: int, save_probs: bool):
+                    scale: float, g_rows: int, save_probs: bool,
+                    with_proj: bool):
     refs = list(refs)
+    wo_ref = refs.pop(0) if with_proj else None
     if save_probs:
         probs_ref = refs.pop(0)
         o_ref = None
@@ -141,11 +153,21 @@ def _bwd_kernel_qkv(qkv_ref, bias_ref, do_ref, *refs, heads: int,
 
     def row(g, _):
         bias = bias_ref[g]
+        if with_proj:
+            # do_ref holds dy (the out-projection output cotangent):
+            # do = dy @ Wo^T, computed once for all heads of this row
+            do_full = jax.lax.dot_general(
+                do_ref[g], wo_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(do_ref.dtype)
         for h in range(heads):
             q = qkv_ref[g, :, h * Dh:(h + 1) * Dh]
             k = qkv_ref[g, :, D + h * Dh:D + (h + 1) * Dh]
             v = qkv_ref[g, :, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
-            do = do_ref[g, :, h * Dh:(h + 1) * Dh].astype(jnp.float32)
+            if with_proj:
+                do = do_full[:, h * Dh:(h + 1) * Dh].astype(jnp.float32)
+            else:
+                do = do_ref[g, :, h * Dh:(h + 1) * Dh].astype(jnp.float32)
             dp = jax.lax.dot_general(
                 do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -384,41 +406,63 @@ def _qkv_specs(G, S, D3):
     return pl.BlockSpec((G, S, D3), lambda i: (i, 0, 0))
 
 
-def _fwd_call_qkv(qkv, bias, *, heads, scale, G, interpret, save_probs):
+def _fwd_call_qkv(qkv, bias, wo, bo, *, heads, scale, G, interpret,
+                  save_probs):
     B, S, D3 = qkv.shape
+    D = D3 // 3
+    with_proj = wo is not None
     io = _qkv_specs(G, S, D3)
-    o_spec = pl.BlockSpec((G, S, D3 // 3), lambda i: (i, 0, 0))
+    o_spec = pl.BlockSpec((G, S, D), lambda i: (i, 0, 0))
     bias_spec = pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0))
     kernel = functools.partial(_fwd_kernel_qkv, heads=heads, scale=scale,
-                               g_rows=G, save_probs=save_probs)
+                               g_rows=G, save_probs=save_probs,
+                               with_proj=with_proj)
+    in_specs = [io, bias_spec]
+    args = [qkv, bias]
+    if with_proj:
+        in_specs.append(pl.BlockSpec((D, D), lambda i: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, D), lambda i: (0, 0)))
+        args += [wo, bo]
     out_specs = [o_spec]
-    out_shape = [jax.ShapeDtypeStruct((B, S, D3 // 3), qkv.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((B, S, D), qkv.dtype)]
     if save_probs:
         out_specs.append(_probs_spec(G, heads, S))
         out_shape.append(jax.ShapeDtypeStruct((B, heads, S, S), jnp.bfloat16))
+    if with_proj:
+        out_specs.append(o_spec)
+        out_shape.append(jax.ShapeDtypeStruct((B, S, D), qkv.dtype))
     outs = pl.pallas_call(
         kernel,
         grid=(B // G,),
-        in_specs=[io, bias_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=_vmem_params(qkv, G, 3 if save_probs else 2),
         interpret=interpret,
-    )(qkv, bias)
-    if save_probs:
-        return outs[0], outs[1]
-    return outs[0], None
+    )(*args)
+    outs = list(outs)
+    o = outs.pop(0)
+    probs = outs.pop(0) if save_probs else None
+    y = outs.pop(0) if with_proj else None
+    return o, probs, y
 
 
-def _bwd_call_qkv(qkv, bias, do, o, probs, *, heads, scale, G, interpret):
+def _bwd_call_qkv(qkv, bias, do, o, probs, wo, *, heads, scale, G,
+                  interpret):
     B, S, D3 = qkv.shape
+    D = D3 // 3
+    with_proj = wo is not None
     io = _qkv_specs(G, S, D3)
-    d_spec = pl.BlockSpec((G, S, D3 // 3), lambda i: (i, 0, 0))
+    d_spec = pl.BlockSpec((G, S, D), lambda i: (i, 0, 0))
     bias_spec = pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0))
     kernel = functools.partial(_bwd_kernel_qkv, heads=heads, scale=scale,
-                               g_rows=G, save_probs=probs is not None)
+                               g_rows=G, save_probs=probs is not None,
+                               with_proj=with_proj)
     in_specs = [io, bias_spec, d_spec]
     args = [qkv, bias, do]
+    if with_proj:
+        in_specs.append(pl.BlockSpec((D, D), lambda i: (0, 0)))
+        args.append(wo)
     if probs is not None:
         in_specs.append(_probs_spec(G, heads, S))
         args.append(probs)
@@ -438,25 +482,65 @@ def _bwd_call_qkv(qkv, bias, do, o, probs, *, heads, scale, G, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _short_attn_core_qkv(qkv, bias, heads, scale, G, interpret, save_probs):
-    o, _ = _fwd_call_qkv(qkv, bias, heads=heads, scale=scale, G=G,
-                         interpret=interpret, save_probs=save_probs)
+    o, _, _ = _fwd_call_qkv(qkv, bias, None, None, heads=heads, scale=scale,
+                            G=G, interpret=interpret, save_probs=save_probs)
     return o
 
 
 def _short_attn_qkv_fwd(qkv, bias, heads, scale, G, interpret, save_probs):
-    o, probs = _fwd_call_qkv(qkv, bias, heads=heads, scale=scale, G=G,
-                             interpret=interpret, save_probs=save_probs)
+    o, probs, _ = _fwd_call_qkv(qkv, bias, None, None, heads=heads,
+                                scale=scale, G=G, interpret=interpret,
+                                save_probs=save_probs)
     return o, (qkv, bias, None if save_probs else o, probs)
 
 
 def _short_attn_qkv_bwd(heads, scale, G, interpret, save_probs, res, do):
     qkv, bias, o, probs = res
-    dqkv = _bwd_call_qkv(qkv, bias, do.astype(qkv.dtype), o, probs,
+    dqkv = _bwd_call_qkv(qkv, bias, do.astype(qkv.dtype), o, probs, None,
                          heads=heads, scale=scale, G=G, interpret=interpret)
     return dqkv, None
 
 
 _short_attn_core_qkv.defvjp(_short_attn_qkv_fwd, _short_attn_qkv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _short_attn_core_qkv_proj(qkv, bias, wo, bo, heads, scale, G, interpret,
+                              save_probs):
+    _, _, y = _fwd_call_qkv(qkv, bias, wo, bo, heads=heads, scale=scale,
+                            G=G, interpret=interpret, save_probs=save_probs)
+    return y
+
+
+def _short_attn_qkv_proj_fwd(qkv, bias, wo, bo, heads, scale, G, interpret,
+                             save_probs):
+    o, probs, y = _fwd_call_qkv(qkv, bias, wo, bo, heads=heads, scale=scale,
+                                G=G, interpret=interpret,
+                                save_probs=save_probs)
+    return y, (qkv, bias, o, probs, wo)
+
+
+def _short_attn_qkv_proj_bwd(heads, scale, G, interpret, save_probs, res,
+                             dy):
+    qkv, bias, o, probs, wo = res
+    dy_c = dy.astype(qkv.dtype)
+    dqkv = _bwd_call_qkv(qkv, bias, dy_c, None if save_probs else o, probs,
+                         wo, heads=heads, scale=scale, G=G,
+                         interpret=interpret)
+    # dWo = o^T dy and dbo = column-sum ride XLA/MXU (o is a saved residual)
+    B, S, D = o.shape
+    o2 = o.reshape(B * S, D)
+    dy2 = dy_c.reshape(B * S, D)
+    dwo = jax.lax.dot_general(
+        o2, dy2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(wo.dtype)
+    dbo = jnp.sum(dy2.astype(jnp.float32), axis=0)[None, :].astype(qkv.dtype)
+    return dqkv, None, dwo, dbo
+
+
+_short_attn_core_qkv_proj.defvjp(_short_attn_qkv_proj_fwd,
+                                 _short_attn_qkv_proj_bwd)
 
 
 def fused_short_attention_qkv(
@@ -500,6 +584,53 @@ def fused_short_attention_qkv(
     if Sp != S or Bp != B:
         o = o[:B, :S]
     return o
+
+
+def fused_short_attention_qkv_proj(
+    qkv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_b: int = 8,
+    save_probs: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed qkv attention WITH the out-projection fused:
+    y = attention(qkv) @ wo + bo, (B, S, D) out. The per-row attention
+    output is VMEM-resident when the projection matmul runs, so the
+    standalone out_proj op (and the backward's separate dy @ Wo^T pass)
+    disappear; dWo/dbo ride XLA from the saved attention output."""
+    B, S, D3 = qkv.shape
+    if D3 % 3:
+        raise ValueError(f"packed qkv needs last dim divisible by 3, got {D3}")
+    D = D3 // 3
+    if wo.shape != (D, D):
+        raise ValueError(f"wo must be ({D}, {D}), got {wo.shape}")
+    if D % num_heads:
+        raise ValueError(f"D={D} not divisible by num_heads={num_heads}")
+    Dh = D // num_heads
+    if scale is None:
+        scale = 1.0 / (Dh ** 0.5)
+    Sp = _round_up(S, 128)
+    G = block_b
+    Bp = _round_up(B, G)
+    if mask is None:
+        mask = jnp.ones((B, S), dtype=bool)
+    maskp = mask
+    if Sp != S or Bp != B:
+        qkv = jnp.pad(qkv, ((0, Bp - B), (0, Sp - S), (0, 0)))
+        maskp = jnp.pad(mask, ((0, Bp - B), (0, Sp - S)))
+    bias = jnp.where(maskp, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+    if save_probs is None:
+        save_probs = Bp * num_heads * Sp * Sp * 2 <= 512 * 1024 * 1024
+    y = _short_attn_core_qkv_proj(
+        qkv, bias, wo.astype(qkv.dtype), bo.reshape(1, D).astype(qkv.dtype),
+        num_heads, float(scale), G, interpret, bool(save_probs))
+    if Sp != S or Bp != B:
+        y = y[:B, :S]
+    return y
 
 
 def fused_short_attention(

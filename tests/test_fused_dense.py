@@ -157,6 +157,7 @@ def test_mlp_tower_fused_routing(monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_optimized_projection_fused_routing(monkeypatch):
     from dataclasses import replace
 

@@ -292,6 +292,7 @@ def test_fused_multiway_matches_reference(rng):
         np.testing.assert_allclose(float(m_f[k]), float(m_ref[k]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_multiway_ring_matches_reference(mesh8, rng):
     """Sharded 3-way loss through the ring kernels == full-batch XLA."""
     from clip_dplm_tpu.ops.fused_infonce import fused_multiway_clip_loss

@@ -56,6 +56,7 @@ def _graph(rng, n_nodes=12, n_edges=24, pad_edges=8, num_graphs=2, d=32):
     return h, edge_index, edge_mask, batch_idx
 
 
+@pytest.mark.slow
 def test_pignn_padded_edge_invariance(rng):
     """Changing where masked padding edges point must not change outputs."""
     h, edge_index, edge_mask, batch_idx = _graph(rng)
@@ -92,6 +93,7 @@ def test_cell_state_encoder(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_perturbation_and_protein_encoders(rng):
     cfg = EncoderConfig(latent_dim=32, esm_dim=64, n_perturb_genes=10,
                         protein_hidden_dims=(48, 40),

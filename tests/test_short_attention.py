@@ -132,6 +132,51 @@ def test_packed_qkv_matches_reference(rng):
     assert rel < 2e-2, f"packed saved-probs rel L2 err {rel:.2e}"
 
 
+def test_packed_qkv_proj_matches_reference(rng):
+    """fused_short_attention_qkv_proj == attention + out-projection
+    (values + gradients incl. dWo/dbo)."""
+    from clip_dplm_tpu.ops.short_attention import fused_short_attention_qkv_proj
+
+    q, k, v, mask = _inputs(rng, B=2, S=64, D=64)
+    heads = 2
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    wo = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32) * 0.1)
+    bo = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.1)
+    w = mask[:, :, None].astype(jnp.float32)
+
+    def ref(qkv, wo, bo):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        o = short_attention_reference(q, k, v, heads, mask=mask)
+        return jnp.sum(jnp.sin((o @ wo + bo) * w))
+
+    def fused(qkv, wo, bo):
+        return jnp.sum(jnp.sin(fused_short_attention_qkv_proj(
+            qkv, wo, bo, heads, mask=mask, block_b=2, save_probs=False,
+            interpret=True) * w))
+
+    l_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1, 2))(qkv, wo, bo)
+    with pltpu.force_tpu_interpret_mode():
+        l_f, g_f = jax.value_and_grad(fused, argnums=(0, 1, 2))(qkv, wo, bo)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    for gr, gf, name in zip(g_ref, g_f, ["dqkv", "dwo", "dbo"]):
+        np.testing.assert_allclose(
+            np.asarray(gf, np.float32), np.asarray(gr, np.float32),
+            atol=5e-5, rtol=2e-3, err_msg=name)
+
+    # saved-probs variant: rel-L2 gate
+    def fused_p(qkv, wo, bo):
+        return jnp.sum(jnp.sin(fused_short_attention_qkv_proj(
+            qkv, wo, bo, heads, mask=mask, block_b=2, save_probs=True,
+            interpret=True) * w))
+
+    with pltpu.force_tpu_interpret_mode():
+        _, g_p = jax.value_and_grad(fused_p, argnums=(0, 1, 2))(qkv, wo, bo)
+    for gr, gf, name in zip(g_ref, g_p, ["dqkv", "dwo", "dbo"]):
+        gr, gf = np.asarray(gr, np.float32), np.asarray(gf, np.float32)
+        rel = float(np.linalg.norm(gf - gr)) / max(float(np.linalg.norm(gr)), 1e-12)
+        assert rel < 2e-2, f"{name} rel L2 err {rel:.2e} with saved probs"
+
+
 def test_unaligned_shapes_padded(rng):
     """S and B not multiples of the block sizes: wrapper pads, results match
     on the real rows."""

@@ -87,6 +87,7 @@ def test_rna_rbp_training_learns():
     assert last < first, (first, last)
 
 
+@pytest.mark.slow
 def test_param_count_scales():
     """Reference model reports 71,646,299 params (rna nb cell 29); our
     equivalent config lands in the same regime (order 70M)."""
