@@ -112,6 +112,24 @@ def attention_dispatch(
         from clip_dplm_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(qh, kh, vh, mask=mask, scale=scale)
+    # short self-attention at the head level (e.g. ESM rotary towers at
+    # S < the flash crossover): same fused kernel, bhsd blocks
+    if (
+        use_flash is None
+        and _on_tpu()
+        and _short_attn_enabled()
+        and qh.shape == kh.shape == vh.shape
+        and 64 <= seq_k < _flash_min_seq()
+        and qh.shape[-1] % 8 == 0
+        and (mask is None or mask.ndim == 2)
+    ):
+        from clip_dplm_tpu.ops.short_attention import (
+            fused_short_attention_heads,
+        )
+
+        return fused_short_attention_heads(qh, kh, vh, mask=mask,
+                                           scale=scale,
+                                           block_b=_short_attn_g())
     # short self-attention: optionally pack (batch, head) pairs into one
     # block-diagonal kernel call (ops/flash_attention.grouped_short_attention).
     # MEASURED SLOWER than XLA's batched path at S=128/Dh=64 (block fwd 18.0

@@ -702,6 +702,47 @@ def fused_short_attention(
     return o
 
 
+def fused_short_attention_heads(
+    qh: jax.Array,
+    kh: jax.Array,
+    vh: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_b: int = 8,
+    save_probs: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Head-level entry over (B, H, S, Dh) — for towers that transform q/k
+    per head AFTER the split (ESM rotary embeddings). Same kernel as the
+    'bhsd' layout of fused_short_attention, minus the wrapper's split."""
+    B, H, S, Dh = qh.shape
+    if kh.shape != qh.shape or vh.shape != qh.shape:
+        raise ValueError("fused_short_attention_heads requires q/k/v of one "
+                         f"shape, got {qh.shape} {kh.shape} {vh.shape}")
+    if scale is None:
+        scale = 1.0 / (Dh ** 0.5)
+    Sp = _round_up(S, 128)
+    G = block_b
+    Bp = _round_up(B, G)
+    if mask is None:
+        mask = jnp.ones((B, S), dtype=bool)
+    maskp = mask
+    if Sp != S or Bp != B:
+        pad4 = ((0, Bp - B), (0, 0), (0, Sp - S), (0, 0))
+        qh = jnp.pad(qh, pad4)
+        kh = jnp.pad(kh, pad4)
+        vh = jnp.pad(vh, pad4)
+        maskp = jnp.pad(mask, ((0, Bp - B), (0, Sp - S)))
+    bias = jnp.where(maskp, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
+    if save_probs is None:
+        save_probs = Bp * H * Sp * Sp * 2 <= 512 * 1024 * 1024
+    o = _short_attn_core(qh, kh, vh, bias, H, float(scale), G, "bhsd",
+                         interpret, bool(save_probs))
+    if Sp != S or Bp != B:
+        o = o[:B, :, :S]
+    return o
+
+
 def short_attention_reference(q, k, v, num_heads, mask=None, scale=None):
     """Pure-JAX parity target: head split -> softmax attention -> merge."""
     from clip_dplm_tpu.ops.attention import (

@@ -192,6 +192,26 @@ def test_unaligned_shapes_padded(rng):
     )
 
 
+def test_heads_entry_matches_reference(rng):
+    """fused_short_attention_heads on (B, H, S, Dh) == reference."""
+    from clip_dplm_tpu.ops.attention import _merge_heads, _split_heads
+    from clip_dplm_tpu.ops.short_attention import fused_short_attention_heads
+
+    q, k, v, mask = _inputs(rng, B=3, S=100, D=64)
+    heads = 2
+    want = short_attention_reference(q, k, v, heads, mask=mask)
+    qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        oh = fused_short_attention_heads(qh, kh, vh, mask=mask, block_b=2,
+                                         interpret=True)
+    got = _merge_heads(oh)
+    valid = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * valid, np.asarray(want) * valid,
+        atol=1e-5, rtol=1e-4,
+    )
+
+
 def test_rejects_bad_shapes(rng):
     q, k, v, _ = _inputs(rng, B=2, S=32, D=64, masked=False)
     with pytest.raises(ValueError):
