@@ -130,25 +130,6 @@ def attention_dispatch(
         return fused_short_attention_heads(qh, kh, vh, mask=mask,
                                            scale=scale,
                                            block_b=_short_attn_g())
-    # short self-attention: optionally pack (batch, head) pairs into one
-    # block-diagonal kernel call (ops/flash_attention.grouped_short_attention).
-    # MEASURED SLOWER than XLA's batched path at S=128/Dh=64 (block fwd 18.0
-    # vs 10.8 ms): the Dh->128 lane padding copies of q/k/v and the doubled
-    # matmul width cost more than the avoided (B,H,S,S) HBM scores — see
-    # RESULTS.md. Opt-in via CLIP_DPLM_GROUPED_ATTN=1 for shapes where the
-    # head dim is already lane-aligned.
-    import os
-
-    if (
-        _on_tpu()
-        and qh.shape[2] == seq_k
-        and 64 <= seq_k < _flash_min_seq()
-        and (mask is None or mask.ndim == 2)
-        and os.environ.get("CLIP_DPLM_GROUPED_ATTN", "0") == "1"
-    ):
-        from clip_dplm_tpu.ops.flash_attention import grouped_short_attention
-
-        return grouped_short_attention(qh, kh, vh, mask=mask, scale=scale)
     return attention_reference(qh, kh, vh, mask=mask, scale=scale)
 
 

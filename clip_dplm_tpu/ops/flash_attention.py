@@ -358,61 +358,3 @@ def flash_attention(
                                 block_k, diag_block)
     return out[:, :, :S, :Dh]
 
-
-def grouped_short_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    mask: Optional[jax.Array] = None,
-    scale: Optional[float] = None,
-    group: Optional[int] = None,
-) -> jax.Array:
-    """Self-attention for SHORT sequences (S below the ~256 flash/XLA
-    crossover) on TPU: packs G (batch, head) pairs into one G*S-row
-    block-diagonal attention per kernel program.
-
-    At S=128/Dh=64 XLA lowers attention to B*H tiny batched matmuls that
-    underfill the MXU and materialize the (B, H, S, S) scores in HBM
-    (measured ~8x over the flop floor on v5e); running the flash kernel
-    per (b, h) pair is worse still (per-program overhead). Packing G pairs
-    makes every matmul (G*S, Dh) x (Dh, G*S) MXU-wide while an in-kernel
-    block-diagonal bias (`diag_block=S_padded`) masks the cross-pair
-    blocks; scores never reach HBM. The G^2/G flop waste is irrelevant —
-    attention is ~1% of these models' FLOPs.
-
-    q, k, v: (B, H, S, Dh) with S == Sk (self-attention); mask: (B, S)
-    key-validity. Gradients flow through the flash custom VJP.
-    """
-    B, H, S, Dh = q.shape
-    if k.shape[2] != S:
-        raise ValueError("grouped_short_attention requires self-attention "
-                         f"(Sq == Sk), got {S} vs {k.shape[2]}")
-    if scale is None:
-        scale = 1.0 / (Dh**0.5)
-    Sp = _round_up(S, 128)
-    if group is None:
-        group = max(1, 512 // Sp)
-    BH = B * H
-    while group > 1 and BH % group:
-        group //= 2
-
-    if mask is None:
-        mask = jnp.ones((B, S), dtype=bool)
-
-    def pack(x):
-        x = x.reshape(BH, S, Dh)
-        if Sp != S:
-            x = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
-        return x.reshape(BH // group, 1, group * Sp, Dh)
-
-    maskp = jnp.broadcast_to(mask[:, None, :], (B, H, S)).reshape(BH, S)
-    if Sp != S:
-        maskp = jnp.pad(maskp, ((0, 0), (0, Sp - S)))
-    mask2 = maskp.reshape(BH // group, group * Sp)
-
-    out = flash_attention(
-        pack(q), pack(k), pack(v), mask=mask2, scale=scale,
-        block_q=group * Sp, block_k=group * Sp, diag_block=Sp,
-    )
-    out = out.reshape(BH, Sp, Dh)[:, :S]
-    return out.reshape(B, H, S, Dh)

@@ -87,51 +87,3 @@ def test_multihead_dispatch_fallback(rng):
     out = multihead_attention(x, x, x, H, mask=mask)
     assert out.shape == (B, S, Dm)
     assert np.all(np.isfinite(np.asarray(out)))
-
-
-# ---------------------------------------------------------------------------
-# grouped short-sequence attention (block-diagonal packing)
-# ---------------------------------------------------------------------------
-
-
-@pytest.mark.parametrize("S,D,group", [(128, 64, 4), (100, 64, 2), (64, 32, 8)])
-def test_grouped_short_attention_matches_reference(rng, S, D, group):
-    from clip_dplm_tpu.ops.flash_attention import grouped_short_attention
-
-    B, H = 4, 2
-    q, k, v = _rand_qkv(rng, B, H, S, D)
-    lens = rng.integers(S // 2, S + 1, B)
-    mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
-    with pltpu.force_tpu_interpret_mode():
-        out = grouped_short_attention(q, k, v, mask=mask, group=group)
-    ref = attention_reference(q, k, v, mask=mask)
-    valid = np.asarray(mask)[:, None, :, None]
-    np.testing.assert_allclose(
-        np.asarray(out) * valid, np.asarray(ref) * valid,
-        atol=3e-5, rtol=3e-5,
-    )
-
-
-def test_grouped_short_attention_gradients(rng):
-    from clip_dplm_tpu.ops.flash_attention import grouped_short_attention
-
-    B, H, S, D = 2, 2, 64, 32
-    q, k, v = _rand_qkv(rng, B, H, S, D)
-    lens = rng.integers(S // 2, S + 1, B)
-    mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
-    w = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
-    wq = w * np.asarray(mask)[:, None, :, None]
-
-    def loss_grouped(q, k, v):
-        return jnp.sum(
-            grouped_short_attention(q, k, v, mask=mask, group=4) * wq)
-
-    def loss_ref(q, k, v):
-        return jnp.sum(attention_reference(q, k, v, mask=mask) * wq)
-
-    with pltpu.force_tpu_interpret_mode():
-        g1 = jax.grad(loss_grouped, argnums=(0, 1, 2))(q, k, v)
-    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=5e-5, rtol=5e-5)
