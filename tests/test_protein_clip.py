@@ -58,6 +58,7 @@ def test_forward_and_train_step(rng):
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
 
+@pytest.mark.slow
 def test_frozen_esm_gets_no_grads(rng):
     cfg = tiny_cfg(frozen=True)
     model = ESMProteinCLIP(cfg=cfg)

@@ -74,6 +74,7 @@ def test_dp_tp_step_matches_single_device(rng):
     assert "model" in str(k.sharding.spec)
 
 
+@pytest.mark.slow
 def test_tp_multi_step_stays_sharded(rng):
     """Donated sharded state keeps its sharding across chained steps."""
     cfg = _cfg()

@@ -61,6 +61,7 @@ def test_init_and_forward():
     )
 
 
+@pytest.mark.slow
 def test_training_learns():
     """Loss decreases and retrieval beats chance on structured synthetic pairs."""
     cfg = small_cfg()
@@ -90,6 +91,7 @@ def test_training_learns():
     assert float(r["R@10"]) > 10.0 / 256.0 * 3  # way above chance
 
 
+@pytest.mark.slow
 def test_pjit_matches_single_device(mesh8):
     """The pjit-sharded step produces the same loss/grads as single-device."""
     cfg = small_cfg()
@@ -109,6 +111,7 @@ def test_pjit_matches_single_device(mesh8):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_mean_of_microbatches():
     """With dropout disabled, the accumulated loss equals the mean of the
     per-microbatch losses computed independently."""
@@ -132,6 +135,7 @@ def test_grad_accum_matches_mean_of_microbatches():
     np.testing.assert_allclose(float(m["loss"]), np.mean(expected), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_cache_path_runs():
     cfg = small_cfg(**{"contrastive.use_cache": "true", "contrastive.cache_size": 64})
     model = TwoTowerCLIP(cfg=cfg)
@@ -169,6 +173,7 @@ def test_trainer_loop_and_early_stopping(tmp_path, mesh8):
     assert all(np.isfinite(v) for v in history["train_loss"])
 
 
+@pytest.mark.slow
 def test_architecture_variants():
     """mlp / transformer / resnet towers all run (run1 architecture search)."""
     for arch in ("mlp", "transformer", "resnet"):
@@ -190,6 +195,7 @@ def test_projection_variants():
         assert np.all(np.isfinite(np.asarray(out["emb_a"], dtype=np.float32)))
 
 
+@pytest.mark.slow
 def test_multi_step_trainer_matches_single(mesh8):
     """steps_per_call>1 scans steps on-device; same final loss trajectory as
     single-step given identical batch order."""
