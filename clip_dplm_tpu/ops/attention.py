@@ -106,7 +106,8 @@ def attention_dispatch(
         _on_tpu() and seq_k >= _flash_min_seq()
         and (mask is None or mask.ndim == 2)
     )
-    if use_flash is None:
+    auto = use_flash is None
+    if auto:
         use_flash = flash_ok
     if use_flash and flash_ok:
         from clip_dplm_tpu.ops.flash_attention import flash_attention
@@ -115,7 +116,7 @@ def attention_dispatch(
     # short self-attention at the head level (e.g. ESM rotary towers at
     # S < the flash crossover): same fused kernel, bhsd blocks
     if (
-        use_flash is None
+        auto
         and _on_tpu()
         and _short_attn_enabled()
         and qh.shape == kh.shape == vh.shape

@@ -232,3 +232,35 @@ def test_bf16_close_to_f32(rng):
         np.asarray(got, np.float32) * valid, np.asarray(want) * valid,
         atol=0.05, rtol=0.05,
     )
+
+
+def test_dispatch_routes_short_heads(rng, monkeypatch):
+    """attention_dispatch must route rotary-tower shapes (S below the flash
+    crossover, head-level layout) to the fused short-S kernel when the
+    caller leaves use_flash unset — regression for the dead `use_flash is
+    None` check that silently fell back to the XLA reference."""
+    from clip_dplm_tpu.ops import attention, short_attention
+
+    q, k, v, mask = _inputs(rng, B=2, S=100, D=64)
+    heads = 2
+    qh, kh, vh = (attention._split_heads(t, heads) for t in (q, k, v))
+
+    calls = []
+
+    def spy(qh, kh, vh, mask=None, scale=None, block_b=8):
+        calls.append(qh.shape)
+        return attention.attention_reference(qh, kh, vh, mask=mask,
+                                             scale=scale)
+
+    monkeypatch.setattr(attention, "_on_tpu", lambda: True)
+    monkeypatch.setattr(short_attention, "fused_short_attention_heads", spy)
+    out = attention.attention_dispatch(qh, kh, vh, mask=mask)
+    assert calls == [qh.shape]
+    want = attention.attention_reference(qh, kh, vh, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want))
+
+    # an explicit use_flash=False must NOT reroute (caller opted out of
+    # kernel dispatch entirely)
+    calls.clear()
+    attention.attention_dispatch(qh, kh, vh, mask=mask, use_flash=False)
+    assert calls == []
