@@ -452,7 +452,7 @@ RAW_QSCALE = 32767.0 / 1.01
 
 def _sym_grad_raw_kernel(raw_ref, y_ref, scale_ref, colmask_ref, lse_row_ref,
                          lse_col_ref, dx_ref, rowdot_ref, acc_scr, dot_scr,
-                         *, nn: int):
+                         *, nn: int, resident_n: int = 0, masked: bool = True):
     """Pass-A backward from materialized raw: accumulates
     (P_row + P_colT) @ y and rowsum(p*raw) over the inner column axis —
     `_sym_grad_kernel` minus the raw recompute matmul (the DMA of the int16
@@ -464,29 +464,37 @@ def _sym_grad_raw_kernel(raw_ref, y_ref, scale_ref, colmask_ref, lse_row_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
         dot_scr[:] = jnp.zeros_like(dot_scr)
 
-    raw = raw_ref[:].astype(jnp.float32) * (1.0 / RAW_QSCALE)
-    y = y_ref[:]
+    qf = raw_ref[:].astype(jnp.float32)
+    if resident_n:
+        y = y_ref[pl.ds(jn * resident_n, resident_n), :]
+    else:
+        y = y_ref[:]
     scale = scale_ref[0, 0]
-    colmask = colmask_ref[0]  # (1, bn)
     lse_row = lse_row_ref[:]  # (bm, 1)
     lse_col = lse_col_ref[0]  # (1, bn)
 
-    s = raw * scale + colmask
+    # dequant and logit scale folded into ONE per-element multiply; the
+    # unscaled raw for the d_scale rowsum is recovered by scaling the
+    # per-row reduction once (sum(p * raw) == sum(p * qf) / RAW_QSCALE)
+    s = qf * (scale * (1.0 / RAW_QSCALE))
+    if masked:
+        s = s + colmask_ref[0]  # (1, bn)
     p = jnp.exp(s - lse_row) + jnp.exp(s - lse_col)
     acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
         p.astype(y.dtype), y, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dot_scr[:] = dot_scr[:] + jnp.sum(p * raw, axis=-1, keepdims=True)
+    dot_scr[:] = dot_scr[:] + jnp.sum(p * qf, axis=-1, keepdims=True)
 
     @pl.when(jn == nn - 1)
     def _():
         dx_ref[:] = acc_scr[:].astype(dx_ref.dtype)
-        rowdot_ref[:] = dot_scr[:, 0:1]
+        rowdot_ref[:] = dot_scr[:, 0:1] * (1.0 / RAW_QSCALE)
 
 
 def _sym_grad_rawT_kernel(raw_ref, x_ref, scale_ref, rowmask_ref, lse_row_ref,
-                          lse_col_ref, dy_ref, acc_scr, *, nm: int):
+                          lse_col_ref, dy_ref, acc_scr, *, nm: int,
+                          resident_m: int = 0, masked: bool = True):
     """Pass-B backward from materialized raw: accumulates the transposed
     contraction (P_row + P_colT)^T @ x over the inner ROW axis, reading the
     same (i, j) raw tiles — no transpose and no recompute. The rowmask zeroes
@@ -498,14 +506,19 @@ def _sym_grad_rawT_kernel(raw_ref, x_ref, scale_ref, rowmask_ref, lse_row_ref,
     def _():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    raw = raw_ref[:].astype(jnp.float32) * (1.0 / RAW_QSCALE)  # (bm, bn)
-    x = x_ref[:]  # (bm, d)
+    qf = raw_ref[:].astype(jnp.float32)  # (bm, bn)
+    if resident_m:
+        x = x_ref[pl.ds(im * resident_m, resident_m), :]
+    else:
+        x = x_ref[:]  # (bm, d)
     scale = scale_ref[0, 0]
-    rowmask = rowmask_ref[0]  # (1, bm)
     lse_row = lse_row_ref[:]  # (bm, 1)
     lse_col = lse_col_ref[0]  # (1, bn)
 
-    s = raw * scale + rowmask.reshape(-1, 1)[: raw.shape[0]]
+    s = qf * (scale * (1.0 / RAW_QSCALE))
+    if masked:
+        rowmask = rowmask_ref[0]  # (1, bm)
+        s = s + rowmask.reshape(-1, 1)[: qf.shape[0]]
     p = jnp.exp(s - lse_row) + jnp.exp(s - lse_col)
     acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
         p.astype(x.dtype), x, (((0,), (0,)), ((), ())),
@@ -541,13 +554,18 @@ def _sym_grad_passes_from_raw(raw_q, a, b, scale, lse_row, lse_col,
         jnp.float32)[None]
     scale2d = scale.reshape(1, 1).astype(jnp.float32)
     nm, nn = mp // block_m, np_ // block_n
+    masked = mp != m or np_ != n
+    res_b = _resident_bytes(bp) <= RESIDENT_BYTES_LIMIT
+    res_a = _resident_bytes(ap) <= RESIDENT_BYTES_LIMIT
 
     acc_a, rowdot = pl.pallas_call(
-        functools.partial(_sym_grad_raw_kernel, nn=nn),
+        functools.partial(_sym_grad_raw_kernel, nn=nn,
+                          resident_n=block_n if res_b else 0, masked=masked),
         grid=(nm, nn),
         in_specs=[
             pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
-            pl.BlockSpec((block_n, d), lambda i, j: (j, 0)),
+            (pl.BlockSpec((np_, d), lambda i, j: (0, 0)) if res_b
+             else pl.BlockSpec((block_n, d), lambda i, j: (j, 0))),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_n), lambda i, j: (0, 0, j)),
             pl.BlockSpec((block_m, 1), lambda i, j: (i, 0)),
@@ -565,14 +583,17 @@ def _sym_grad_passes_from_raw(raw_q, a, b, scale, lse_row, lse_col,
             pltpu.VMEM((block_m, d), jnp.float32),
             pltpu.VMEM((block_m, 128), jnp.float32),
         ],
+        compiler_params=_loss_vmem_params(res_b, bp),
     )(raw_q, bp, scale2d, colmask, lse_row_p, lse_col_p)
 
     acc_b = pl.pallas_call(
-        functools.partial(_sym_grad_rawT_kernel, nm=nm),
+        functools.partial(_sym_grad_rawT_kernel, nm=nm,
+                          resident_m=block_m if res_a else 0, masked=masked),
         grid=(nn, nm),
         in_specs=[
             pl.BlockSpec((block_m, block_n), lambda j, i: (i, j)),
-            pl.BlockSpec((block_m, d), lambda j, i: (i, 0)),
+            (pl.BlockSpec((mp, d), lambda j, i: (0, 0)) if res_a
+             else pl.BlockSpec((block_m, d), lambda j, i: (i, 0))),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_m), lambda j, i: (0, 0, i)),
             pl.BlockSpec((block_m, 1), lambda j, i: (i, 0)),
@@ -581,6 +602,7 @@ def _sym_grad_passes_from_raw(raw_q, a, b, scale, lse_row, lse_col,
         out_specs=pl.BlockSpec((block_n, d), lambda j, i: (j, 0)),
         out_shape=jax.ShapeDtypeStruct((np_, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_n, d), jnp.float32)],
+        compiler_params=_loss_vmem_params(res_a, ap),
     )(raw_q, ap, scale2d, rowmask, lse_row_p, lse_col_p)
 
     return acc_a[:m], rowdot[:m], acc_b[:n]
@@ -927,7 +949,7 @@ def fused_multiway_clip_loss(
 
 def _sym_lse_impl(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
                   row_lse_ref, colmax_ref, colsum_ref, raw_ref, m_scr, l_scr,
-                  *, nn: int):
+                  *, nn: int, resident_n: int = 0, masked: bool = True):
     """Single-exp tile: the forward is VPU-bound (one matmul vs the exp
     traffic), so the column statistics are DERIVED from the row-shifted
     probabilities instead of a second exp:
@@ -950,17 +972,22 @@ def _sym_lse_impl(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
 
     x = x_ref[:]
-    y = y_ref[:]
+    if resident_n:
+        # whole (np_, d) operand VMEM-resident (grid-invariant block): no
+        # per-row-block re-stream of y — slice this program's column block
+        y = y_ref[pl.ds(jn * resident_n, resident_n), :]
+    else:
+        y = y_ref[:]
     scale = scale_ref[0, 0]
-    colmask = colmask_ref[0]  # (1, bn): -1e30 on padded columns
-    rowmask = rowmask_ref[0]  # (1, bm): -1e30 on padded rows
 
     raw = jax.lax.dot_general(
         x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if raw_ref is not None:
         raw_ref[:] = jnp.round(raw * RAW_QSCALE).astype(jnp.int16)
-    s = raw * scale + colmask
+    s = raw * scale
+    if masked:
+        s = s + colmask_ref[0]  # (1, bn): -1e30 on padded columns
 
     # row stats (online logsumexp over the column grid axis)
     m_prev = m_scr[:, 0:1]
@@ -977,7 +1004,11 @@ def _sym_lse_impl(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
         row_lse_ref[:] = m_scr[:, 0:1] + jnp.log(jnp.maximum(l_scr[:, 0:1], 1e-30))
 
     # column partials from the SAME p (padded rows drop out via rowmask)
-    m_r = m_new + rowmask.reshape(-1, 1)[: s.shape[0]]  # (bm, 1)
+    if masked:
+        rowmask = rowmask_ref[0]  # (1, bm): -1e30 on padded rows
+        m_r = m_new + rowmask.reshape(-1, 1)[: s.shape[0]]  # (bm, 1)
+    else:
+        m_r = m_new
     M = jnp.max(m_r)  # tile scalar
     e_i = jnp.exp(m_r - M)  # (bm, 1), <= 1
     p_c = jnp.sum(p * e_i, axis=0, keepdims=True)  # (1, bn)
@@ -987,18 +1018,43 @@ def _sym_lse_impl(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
 
 def _sym_lse_kernel(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
                     row_lse_ref, colmax_ref, colsum_ref, m_scr, l_scr,
-                    *, nn: int):
+                    *, nn: int, resident_n: int = 0, masked: bool = True):
     _sym_lse_impl(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
                   row_lse_ref, colmax_ref, colsum_ref, None, m_scr, l_scr,
-                  nn=nn)
+                  nn=nn, resident_n=resident_n, masked=masked)
 
 
 def _sym_lse_save_kernel(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
                          row_lse_ref, colmax_ref, colsum_ref, raw_ref,
-                         m_scr, l_scr, *, nn: int):
+                         m_scr, l_scr, *, nn: int, resident_n: int = 0,
+                         masked: bool = True):
     _sym_lse_impl(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
                   row_lse_ref, colmax_ref, colsum_ref, raw_ref, m_scr, l_scr,
-                  nn=nn)
+                  nn=nn, resident_n=resident_n, masked=masked)
+
+
+# whole-operand VMEM residency: below this byte size the (n, d) embedding
+# operand of a loss kernel is loaded ONCE as a grid-invariant block instead
+# of re-streaming an (block, d) tile per outer grid step (which costs
+# nm * n * d * esize of redundant DMA). 12 MB covers B=8192 at d<=1024 bf16;
+# bigger shapes keep the streaming path.
+RESIDENT_BYTES_LIMIT = 12 * 1024 * 1024
+
+
+def _resident_bytes(arr) -> int:
+    return arr.size * arr.dtype.itemsize
+
+
+def _loss_vmem_params(resident: bool, operand):
+    """Raise Mosaic's scoped-VMEM limit only when the resident operand plus
+    double-buffered tiles would not fit the 16 MB default."""
+    if not resident:
+        return None
+    need = _resident_bytes(operand) + 6 * 1024 * 1024
+    if need <= 15 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(need + 4 * 1024 * 1024, 110 * 1024 * 1024))
 
 
 def _sym_row_col_lse(x, y, scale, dot_dtype=None,
@@ -1038,12 +1094,20 @@ def _sym_row_col_lse(x, y, scale, dot_dtype=None,
         out_shape.append(jax.ShapeDtypeStruct((mp, np_), jnp.int16))
         kernel = _sym_lse_save_kernel
 
+    resident = _resident_bytes(yp) <= RESIDENT_BYTES_LIMIT
+    masked = mp != m or np_ != n
+    y_spec = (
+        pl.BlockSpec((np_, d), lambda i, j: (0, 0)) if resident
+        else pl.BlockSpec((block_n, d), lambda i, j: (j, 0))
+    )
     outs = pl.pallas_call(
-        functools.partial(kernel, nn=nn),
+        functools.partial(kernel, nn=nn,
+                          resident_n=block_n if resident else 0,
+                          masked=masked),
         grid=(nm, nn),
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_n, d), lambda i, j: (j, 0)),
+            y_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_n), lambda i, j: (0, 0, j)),
             pl.BlockSpec((1, 1, block_m), lambda i, j: (0, 0, i)),
@@ -1054,6 +1118,7 @@ def _sym_row_col_lse(x, y, scale, dot_dtype=None,
             pltpu.VMEM((block_m, 128), jnp.float32),
             pltpu.VMEM((block_m, 128), jnp.float32),
         ],
+        compiler_params=_loss_vmem_params(resident, yp),
     )(xp, yp, scale2d, colmask, rowmask)
     row_lse, colmax, colsum = outs[:3]
 
