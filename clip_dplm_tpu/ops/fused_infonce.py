@@ -530,6 +530,124 @@ def _sym_grad_rawT_kernel(raw_ref, x_ref, scale_ref, rowmask_ref, lse_row_ref,
         dy_ref[:] = acc_scr[:].astype(dy_ref.dtype)
 
 
+def _sym_grad_merged_kernel(raw_ref, y_ref, x_ref, scale_ref, colmask_ref,
+                            rowmask_ref, lse_row_ref, lse_col_ref,
+                            dx_ref, rowdot_ref, dy_ref,
+                            acc_a_scr, dot_scr, acc_b_scr,
+                            *, nm: int, nn: int, block_n: int,
+                            masked: bool = True):
+    """Single-pass symmetric backward from materialized raw: each int16 tile
+    is read ONCE and its probability block p = exp(s-lse_row)+exp(s-lse_col)
+    is contracted BOTH ways — p @ y accumulates into a per-row-block scratch
+    (flushed at the end of each inner sweep, like pass A), and p^T @ x
+    accumulates into a grid-persistent (np_, d) f32 VMEM scratch whose j-th
+    slice is emitted on the final outer row (replacing pass B). Halves the
+    raw DMA and the exp VPU work of the two-pass formulation."""
+    i = pl.program_id(0)
+    jn = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, jn == 0))
+    def _():
+        acc_b_scr[:] = jnp.zeros_like(acc_b_scr)
+
+    @pl.when(jn == 0)
+    def _():
+        acc_a_scr[:] = jnp.zeros_like(acc_a_scr)
+        dot_scr[:] = jnp.zeros_like(dot_scr)
+
+    qf = raw_ref[:].astype(jnp.float32)
+    y = y_ref[pl.ds(jn * block_n, block_n), :]  # resident (np_, d) operand
+    x = x_ref[:]  # (bm, d) streamed once per outer row (grid-invariant in j)
+    scale = scale_ref[0, 0]
+    lse_row = lse_row_ref[:]  # (bm, 1)
+    lse_col = lse_col_ref[0]  # (1, bn)
+
+    s = qf * (scale * (1.0 / RAW_QSCALE))
+    if masked:
+        s = s + colmask_ref[0]  # (1, bn) kills padded columns
+        rowmask = rowmask_ref[0]  # (1, bm) kills padded rows
+        s = s + rowmask.reshape(-1, 1)[: qf.shape[0]]
+    p = jnp.exp(s - lse_row) + jnp.exp(s - lse_col)
+    acc_a_scr[:] = acc_a_scr[:] + jax.lax.dot_general(
+        p.astype(y.dtype), y, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dot_scr[:] = dot_scr[:] + jnp.sum(p * qf, axis=-1, keepdims=True)
+    pb = jax.lax.dot_general(
+        p.astype(x.dtype), x, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, d)
+    acc_b_new = acc_b_scr[pl.ds(jn * block_n, block_n), :] + pb
+    acc_b_scr[pl.ds(jn * block_n, block_n), :] = acc_b_new
+
+    @pl.when(jn == nn - 1)
+    def _():
+        dx_ref[:] = acc_a_scr[:].astype(dx_ref.dtype)
+        rowdot_ref[:] = dot_scr[:, 0:1] * (1.0 / RAW_QSCALE)
+
+    @pl.when(i == nm - 1)
+    def _():
+        dy_ref[:] = acc_b_new.astype(dy_ref.dtype)
+
+
+# grid-persistent dB accumulator cap: merged-backward engages only while the
+# (np_, d) f32 scratch + the resident y operand stay comfortably inside VMEM
+MERGED_ACC_BYTES_LIMIT = 36 * 1024 * 1024
+
+
+def _sym_grad_merged(raw_q, ap, bp, scale2d, colmask, rowmask, lse_row_p,
+                     lse_col_p, block_m: int, block_n: int, masked: bool):
+    """Driver for `_sym_grad_merged_kernel`: grid (nm, nn) row-major; dy's
+    block index parks at 0 until the final outer row so the (np_, d) output
+    is flushed exactly once per column block."""
+    mp, np_ = raw_q.shape
+    d = ap.shape[1]
+    nm, nn = mp // block_m, np_ // block_n
+
+    dy_index = lambda i, j: (jnp.where(i == nm - 1, j, 0), 0)
+    vmem_need = (np_ * d * 4 + _resident_bytes(bp) + 2 * block_m * d * 4
+                 + 8 * 1024 * 1024)
+    acc_a, rowdot, acc_b = pl.pallas_call(
+        functools.partial(_sym_grad_merged_kernel, nm=nm, nn=nn,
+                          block_n=block_n, masked=masked),
+        grid=(nm, nn),
+        in_specs=[
+            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+            pl.BlockSpec((np_, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_n), lambda i, j: (0, 0, j)),
+            pl.BlockSpec((1, 1, block_m), lambda i, j: (0, 0, i)),
+            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, block_n), lambda i, j: (0, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_n, d), dy_index),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, d), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((np_, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_m, d), jnp.float32),
+            pltpu.VMEM((block_m, 128), jnp.float32),
+            pltpu.VMEM((np_, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_need, 110 * 1024 * 1024)),
+    )(raw_q, bp, ap, scale2d, colmask, rowmask, lse_row_p, lse_col_p)
+    return acc_a, rowdot, acc_b
+
+
+def _merged_bwd_mode() -> str:
+    import os
+
+    return os.environ.get("CLIP_DPLM_LOSS_MERGED", "auto")
+
+
 def _sym_grad_passes_from_raw(raw_q, a, b, scale, lse_row, lse_col,
                               dot_dtype=None,
                               block_m: int = BLOCK_M, block_n: int = BLOCK_N):
@@ -557,6 +675,15 @@ def _sym_grad_passes_from_raw(raw_q, a, b, scale, lse_row, lse_col,
     masked = mp != m or np_ != n
     res_b = _resident_bytes(bp) <= RESIDENT_BYTES_LIMIT
     res_a = _resident_bytes(ap) <= RESIDENT_BYTES_LIMIT
+
+    mode = _merged_bwd_mode()
+    merged_ok = (res_b
+                 and np_ * d * 4 + _resident_bytes(bp) <= MERGED_ACC_BYTES_LIMIT)
+    if mode == "1" or (mode == "auto" and merged_ok):
+        acc_a, rowdot, acc_b = _sym_grad_merged(
+            raw_q, ap, bp, scale2d, colmask, rowmask, lse_row_p, lse_col_p,
+            block_m, block_n, masked)
+        return acc_a[:m], rowdot[:m], acc_b[:n]
 
     acc_a, rowdot = pl.pallas_call(
         functools.partial(_sym_grad_raw_kernel, nn=nn,

@@ -52,6 +52,32 @@ def test_gradients_match_reference(rng):
         )
 
 
+@pytest.mark.parametrize("merged", ["0", "1"])
+def test_gradients_match_reference_merged_modes(rng, monkeypatch, merged):
+    """Single-pass merged backward == two-pass backward == XLA reference.
+    CLIP_DPLM_LOSS_MERGED selects the backward formulation at trace time."""
+    monkeypatch.setenv("CLIP_DPLM_LOSS_MERGED", merged)
+    a, b = _pair(rng, B=48, D=24)
+    ls = jnp.asarray(np.float32(2.0))
+
+    def ref(a, b, ls):
+        loss, _ = infonce.clip_loss(a, b, ls)
+        return loss
+
+    def fused(a, b, ls):
+        loss, _ = fused_clip_loss(a, b, ls)
+        return loss
+
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(a, b, ls)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(fused, argnums=(0, 1, 2))(a, b, ls)
+    for gr, gf, name in zip(g_ref, g_fused, ["da", "db", "dls"]):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=1e-5, rtol=1e-4,
+            err_msg=f"{name} mismatch (merged={merged})",
+        )
+
+
 def test_cache_matches_reference(rng):
     a, b = _pair(rng, B=32, D=16)
     cache = jnp.asarray(rng.normal(size=(48, 16)).astype(np.float32))
