@@ -238,9 +238,24 @@ def main():
     print("\n-- buckets (ms/step) --")
     for b, ms in sorted(per_bucket.items(), key=lambda kv: -kv[1]):
         print(f"  {ms / iters:8.3f}  {b}")
+    # scope totals: events are named by their surrounding computation scope
+    # (proj_a, tower_b, jvp = the loss custom-VJP, fusion.N = XLA fusions),
+    # so the prefix before the first '.'/' ' groups ops per subsystem and
+    # catches the long tail the top-k list misses
+    per_scope = defaultdict(float)
+    for name, ms in per_op.items():
+        scope = re.split(r"[. =]", name.lstrip("%"), 1)[0]
+        per_scope[scope] += ms
+    print("\n-- scope totals (ms/step) --")
+    for s, ms in sorted(per_scope.items(), key=lambda kv: -kv[1]):
+        if ms / iters >= 0.005:
+            print(f"  {ms / iters:8.3f}  {s}")
     print(f"\n-- top {topk} ops (ms/step) --")
     for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:topk]:
         print(f"  {ms / iters:8.3f}  {name[:110]}")
+    tail = sorted(per_op.values(), reverse=True)[topk:]
+    if tail:
+        print(f"  {sum(tail) / iters:8.3f}  (tail: {len(tail)} more ops)")
 
 
 if __name__ == "__main__":
