@@ -234,6 +234,14 @@ class TransformerBlock(nn.Module):
     # LN stats are f32 either way (flax); bf16 here skips the f32
     # materialization that the following .astype(dtype) rounds away
     ln_dtype: Dtype = jnp.float32
+    # Keep only the first `out_rows` tokens after the attention core: the
+    # residual stream, FFN half and block output are computed for those rows
+    # only. Pure dead-code elimination when downstream pooling reads just
+    # those rows (cls/first): FFN, LNs and dropout are row-local, so values
+    # AND gradients are bitwise those of the full block followed by a slice
+    # — XLA cannot see this DCE through the attention custom call, and the
+    # last block's FFN chain is ~15 ms/tower-block at flagship geometry.
+    out_rows: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
@@ -256,13 +264,19 @@ class TransformerBlock(nn.Module):
             wo, bo = dp(self.d_model)
             attn = packed_qkv_attention_proj(qkv, wo, bo, self.num_heads,
                                              mask=mask)
+            if self.out_rows is not None:
+                attn = attn[:, :self.out_rows]
         else:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             attn = multihead_attention(q, k, v, self.num_heads, mask=mask)
+            if self.out_rows is not None:
+                attn = attn[:, :self.out_rows]
             attn = nn.Dense(self.d_model, dtype=self.dtype,
                             param_dtype=self.param_dtype,
                             name="out_proj")(attn)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        if self.out_rows is not None:
+            x = x[:, :self.out_rows]
         x = x + attn
 
         h = nn.LayerNorm(dtype=self.ln_dtype, param_dtype=self.param_dtype,

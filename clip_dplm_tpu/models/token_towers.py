@@ -65,7 +65,14 @@ class TokenTransformerTower(nn.Module):
         block_cls = TransformerBlock
         if self.remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=(3,))
+        # cls/first pooling reads token 0 only, so the LAST block computes
+        # its FFN half (and the final LN below runs) on that row alone —
+        # row-local ops make this exact DCE, not an approximation (see
+        # TransformerBlock.out_rows); the reference computes the full block
+        # and then pools position 0 (rna nb cell 28), same function.
+        pool_first = c.pooling in ("cls", "first")
         for i in range(c.num_layers):
+            last = i == c.num_layers - 1
             h = block_cls(
                 d_model=c.d_model,
                 num_heads=c.num_heads,
@@ -75,14 +82,13 @@ class TokenTransformerTower(nn.Module):
                 param_dtype=self.param_dtype,
                 ln_dtype=(jnp.bfloat16 if c.ln_dtype == "bfloat16"
                           else jnp.float32),
+                out_rows=1 if (pool_first and last) else None,
                 name=f"block_{i}",
             )(h, mask, deterministic=deterministic)
 
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="final_ln")(h)
-        if c.pooling == "cls":
-            return h[:, 0]
-        if c.pooling == "first":
+        if pool_first:
             return h[:, 0]
         # masked mean
         w = mask[..., None].astype(h.dtype)

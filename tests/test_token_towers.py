@@ -130,3 +130,65 @@ def test_cluster_split_no_leakage(rng):
     val_clusters = {cluster_of(s) for s in val.seqs_a}
     train_clusters = {cluster_of(s) for s in train.seqs_a}
     assert val_clusters.isdisjoint(train_clusters)
+
+
+def test_block_out_rows_is_exact_dce(rng):
+    """TransformerBlock(out_rows=1) == full block then slice, values and
+    gradients: FFN/LN/dropout are row-local, so truncating after the
+    attention core is dead-code elimination, not approximation."""
+    from clip_dplm_tpu.models.layers import TransformerBlock
+
+    x = jnp.asarray(rng.normal(size=(3, 12, 64)).astype(np.float32))
+    mask = jnp.asarray(np.arange(12)[None, :] < np.array([[12], [9], [7]]))
+
+    full = TransformerBlock(d_model=64, num_heads=4, dropout=0.0,
+                            dtype=jnp.float32)
+    cut = TransformerBlock(d_model=64, num_heads=4, dropout=0.0,
+                           dtype=jnp.float32, out_rows=1)
+    params = full.init(jax.random.PRNGKey(0), x, mask, deterministic=True)
+
+    ref = full.apply(params, x, mask, deterministic=True)[:, :1]
+    out = cut.apply(params, x, mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    ct = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
+    g_ref = jax.grad(lambda p: jnp.sum(
+        full.apply(p, x, mask, deterministic=True)[:, :1] * ct))(params)
+    g_out = jax.grad(lambda p: jnp.sum(
+        cut.apply(p, x, mask, deterministic=True) * ct))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_tower_cls_truncation_matches_full_compute(rng):
+    """The tower's last-block CLS truncation reproduces the untruncated
+    computation (reference semantics: full blocks, then pool position 0)."""
+    import flax.linen as nn
+
+    from clip_dplm_tpu.models.layers import TransformerBlock
+
+    cfg = small_cfg().rna_tower
+    tower = TokenTransformerTower(cfg=cfg, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24)).astype(np.float32))
+    mask = jnp.asarray(np.arange(16)[None, :] < np.array([[16], [11]]))
+    params = tower.init(jax.random.PRNGKey(0), x, mask)
+    out = tower.apply(params, x, mask)
+
+    # hand-rolled full-sequence computation on the same params
+    p = params["params"]
+    h = nn.Dense(cfg.d_model, dtype=jnp.float32).apply(
+        {"params": p["input_proj"]}, x)
+    h = h + p["pos_embed"][:, :16]
+    cls = jnp.broadcast_to(p["cls_token"], (2, 1, cfg.d_model))
+    h = jnp.concatenate([cls, h], axis=1)
+    m = jnp.concatenate([jnp.ones((2, 1), bool), mask], axis=1)
+    for i in range(cfg.num_layers):
+        h = TransformerBlock(d_model=cfg.d_model, num_heads=cfg.num_heads,
+                             dropout=cfg.dropout, dtype=jnp.float32).apply(
+            {"params": p[f"block_{i}"]}, h, m, deterministic=True)
+    h = nn.LayerNorm(dtype=jnp.float32).apply({"params": p["final_ln"]}, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(h[:, 0]),
+                               rtol=1e-5, atol=1e-6)
