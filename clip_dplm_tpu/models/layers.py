@@ -246,6 +246,7 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
         from clip_dplm_tpu.ops.attention import (
+            cls_query_attention,
             multihead_attention,
             packed_qkv_attention_proj,
             short_attn_packed_ok,
@@ -255,7 +256,14 @@ class TransformerBlock(nn.Module):
                          name="ln_attn")(x).astype(self.dtype)
         qkv = nn.Dense(3 * self.d_model, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="qkv")(h)
-        if short_attn_packed_ok(qkv.shape, self.num_heads, mask):
+        if self.out_rows == 1:
+            # single-query attention: only the CLS row's output survives, so
+            # the (S, S) attention never happens — rank-1 reductions instead
+            attn = cls_query_attention(qkv, self.num_heads, mask=mask)
+            attn = nn.Dense(self.d_model, dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name="out_proj")(attn)
+        elif short_attn_packed_ok(qkv.shape, self.num_heads, mask):
             # packed path: the short-S kernel consumes qkv unsplit (no
             # jnp.split copies or backward concat) and the out-projection
             # runs inside the kernel on the VMEM-resident attention output

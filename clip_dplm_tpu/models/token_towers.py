@@ -14,6 +14,11 @@ TPU-native differences from the reference:
   * attention routes through the Pallas flash kernel (ops/flash_attention.py).
   * pooling uses a learned CLS query prepended to the sequence ('cls') or
     masked mean ('mean'); the reference pooled hidden position 0.
+  * for cls/first pooling the LAST block computes its FFN half — and the
+    final LayerNorm runs — on token 0 only (TransformerBlock.out_rows):
+    row-local ops make this exact dead-code elimination of the reference's
+    full-block-then-pool computation, identical values and gradients
+    (tests/test_token_towers.py::test_block_out_rows_is_exact_dce).
 """
 
 from __future__ import annotations

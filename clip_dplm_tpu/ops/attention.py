@@ -182,6 +182,41 @@ def packed_qkv_attention(
     return None
 
 
+def cls_query_attention(
+    qkv: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Attention output for query row 0 ONLY, from packed (B, S, 3D) qkv.
+
+    With one query per head the (S, S) score matrix collapses to a single
+    row: scores and the weighted value sum are rank-1 multiply-reduce
+    contractions (VPU-shaped work) — no score tensor in HBM, no attention
+    kernel, and the backward is the same shapes mirrored. Semantics match
+    `multihead_attention(q, k, v)[:, :1]` exactly (same scale, mask bias,
+    f32 softmax, f32-accumulated value sum — attention_reference above).
+    Used by TransformerBlock when `out_rows == 1` (last-block CLS
+    truncation): computing all S query rows and slicing wastes a full
+    attention fwd+bwd (~5.6 ms/tower-block at flagship geometry)."""
+    B, S, D3 = qkv.shape
+    D = D3 // 3
+    Dh = D // num_heads
+    q0 = qkv[:, 0, :D].reshape(B, num_heads, 1, Dh)
+    k = qkv[:, :, D:2 * D].reshape(B, S, num_heads, Dh)
+    v = qkv[:, :, 2 * D:].reshape(B, S, num_heads, Dh)
+    logits = jnp.einsum(
+        "bhqd,bshd->bhqs", q0, k, preferred_element_type=jnp.float32
+    ) * (1.0 / (Dh ** 0.5))
+    if mask is not None:
+        logits = logits + jnp.where(mask[:, None, None, :], 0.0, _NEG_INF)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqs,bshd->bqhd", w.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype).reshape(B, 1, D)
+
+
 def packed_qkv_attention_proj(
     qkv: jax.Array,
     wo: jax.Array,

@@ -4,6 +4,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clip_dplm_tpu.models.classifiers import (
     PROBES,
@@ -96,6 +97,7 @@ def test_training_dynamics_tracker():
     assert not tr.improved("loss")
 
 
+@pytest.mark.slow
 def test_probe_grid(rng):
     emb, labels = _clustered_embeddings(rng, n=120, d=24, k=3)
     for name in ("linear", "mlp"):

@@ -155,6 +155,7 @@ def test_memory_queue_wraparound():
     np.testing.assert_allclose(q.queue[4], 2.0)
 
 
+@pytest.mark.slow
 def test_dataloader_end_to_end_with_model(cells):
     """Batches from the pipeline feed TripleFlowModel directly."""
     import jax

@@ -4,6 +4,7 @@ best-of-K reranking."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clip_dplm_tpu.config import DPLMConfig
 from clip_dplm_tpu.data import protein
@@ -48,6 +49,7 @@ def test_corrupt_respects_special_tokens(rng):
     assert not c[~np.asarray(valid)].any()
 
 
+@pytest.mark.slow
 def test_diffusion_loss_finite_and_trains(rng):
     import optax
 
@@ -141,6 +143,7 @@ def test_guided_sampling_with_logit_bias(rng):
     assert (inner == G).mean() > 0.9
 
 
+@pytest.mark.slow
 def test_init_from_esm_checkpoint(rng):
     """DPLM trunk warm-started from a converted HF ESM checkpoint produces
     the SAME hidden representations as the ESM tower (before the LM head)."""
@@ -209,6 +212,7 @@ def test_esm_tower_soft_path_matches_hard(rng):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_soft_guidance_beats_rerank_at_equal_compute(rng):
     """Per-step soft (gradient) guidance on a synthetic differentiable scorer
     steers single chains above best-of-3 reranked unguided chains — the

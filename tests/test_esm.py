@@ -122,6 +122,7 @@ def test_parity_mean_residue_pooling(hf_pair, rng):
     np.testing.assert_allclose(np.asarray(got)[0], expected, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_esm_mask_invariance(hf_pair, rng):
     """Padding must not leak into real positions."""
     _, cfg, params = hf_pair
@@ -143,6 +144,7 @@ def test_esm_config_family():
     assert cfg8.d_model == 320 and cfg8.num_layers == 6
 
 
+@pytest.mark.slow
 def test_bf16_tower_close_to_fp32(hf_pair, rng):
     """The bf16 compute policy (production path) stays within bf16 tolerance
     of the fp32 tower — the 'bf16 numerics' parity gate of SURVEY.md sec 7."""

@@ -43,6 +43,7 @@ def test_forward_with_padding_mask(rng):
         )
 
 
+@pytest.mark.slow
 def test_gradients_match_reference(rng):
     B, H, S, D = 1, 2, 128, 64
     q, k, v = _rand_qkv(rng, B, H, S, D)

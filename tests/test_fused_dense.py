@@ -125,6 +125,7 @@ def _tower_pair(monkeypatch, fused_cfg, unfused_cfg, module_cls, x, rngs=None):
     return m_fused, m_plain, p_fused, p_plain
 
 
+@pytest.mark.slow
 def test_mlp_tower_fused_routing(monkeypatch):
     from dataclasses import replace
 
@@ -188,6 +189,7 @@ def test_optimized_projection_fused_routing(monkeypatch):
         )
 
 
+@pytest.mark.slow
 def test_fused_skip_l2_epilogue_parity():
     """skip + layer_scale + L2-normalize epilogue, fwd and grads vs the
     reference at f32 (exact)."""
@@ -227,6 +229,7 @@ def test_fused_skip_l2_epilogue_parity():
         )
 
 
+@pytest.mark.slow
 def test_projection_l2_normalize_output_knob(monkeypatch):
     """projection.l2_normalize_output makes every projection kind emit unit
     rows on both the fused and unfused paths."""

@@ -30,6 +30,7 @@ def test_loss_matches_reference(rng):
     )
 
 
+@pytest.mark.slow
 def test_gradients_match_reference(rng):
     a, b = _pair(rng, B=48, D=24)
     ls = jnp.asarray(np.float32(2.0))
@@ -78,6 +79,7 @@ def test_gradients_match_reference_merged_modes(rng, monkeypatch, merged):
         )
 
 
+@pytest.mark.slow
 def test_cache_matches_reference(rng):
     a, b = _pair(rng, B=32, D=16)
     cache = jnp.asarray(rng.normal(size=(48, 16)).astype(np.float32))
@@ -149,6 +151,7 @@ def test_non_square_and_offset_labels(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_label_smoothing_matches_reference(rng):
     """Fused smoothing adjustment == the XLA smoothed CE, loss and grads."""
     a, b = _pair(rng, B=48, D=24)
@@ -229,6 +232,7 @@ def test_ring_fused_matches_local(mesh8, rng):
         )
 
 
+@pytest.mark.slow
 def test_ring_fused_label_smoothing_matches_reference(mesh8, rng):
     from clip_dplm_tpu.ops.fused_infonce import ring_fused_clip_loss
 
@@ -249,6 +253,7 @@ def test_ring_fused_label_smoothing_matches_reference(mesh8, rng):
     np.testing.assert_allclose(float(got), float(ref_loss), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_materialized_raw_matches_recompute(rng):
     """The int16 materialized-raw backward (skips both recompute matmuls)
     must agree with the recompute backward to fixed-point precision
@@ -276,6 +281,7 @@ def test_materialized_raw_matches_recompute(rng):
         )
 
 
+@pytest.mark.slow
 def test_fused_multiway_matches_reference(rng):
     """fused_multiway_clip_loss == infonce.multiway_clip_loss (loss + grads)
     for the 3-way tf_clip shape (tf nb cell 41)."""

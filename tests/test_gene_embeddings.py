@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clip_dplm_tpu.config import ESMConfig
 from clip_dplm_tpu.data.gene_embeddings import (
@@ -38,6 +39,7 @@ def test_build_dict_with_cache(tmp_path, rng):
         np.testing.assert_allclose(d1[g], d2[g])
 
 
+@pytest.mark.slow
 def test_esm_embed_fn(rng):
     cfg = ESMConfig(name="tiny", vocab_size=33, d_model=32, num_layers=1,
                     num_heads=2, max_len=64)

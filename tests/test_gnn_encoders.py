@@ -75,6 +75,7 @@ def test_pignn_padded_edge_invariance(rng):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_cell_state_encoder(rng):
     cfg = EncoderConfig(latent_dim=32, gene_dim=50,
                         gnn=GNNConfig(num_layers=2, num_heads=4))

@@ -4,6 +4,7 @@ second-order training (grad of a loss containing grad Psi)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clip_dplm_tpu.config import ICNNConfig
 from clip_dplm_tpu.models.icnn import (
@@ -23,6 +24,7 @@ def strict_cfg(d=6):
                       activation="softplus")
 
 
+@pytest.mark.slow
 def test_icnn_convexity_hessian_psd(rng):
     """With positive z-weights and convex activations, Psi is convex:
     all Hessian eigenvalues >= 0 (the property triple_flow/2_icnn_core.py:213
@@ -58,6 +60,7 @@ def test_icnn_convexity_along_lines(rng):
     assert (pm <= (pa + pb) / 2 + 1e-5).all()
 
 
+@pytest.mark.slow
 def test_icnn_gradient_shape_and_clip(rng):
     cfg = ICNNConfig(input_dim=6, hidden_dims=(16, 8), gradient_clip=0.1)
     icnn = SingleCellICNN(cfg=cfg)
@@ -79,6 +82,7 @@ def test_transport_cost():
     assert float(m2["sparsity_cost"]) > 0
 
 
+@pytest.mark.slow
 def test_single_cell_transport_training_mode(rng):
     cfg = ICNNConfig(input_dim=8, hidden_dims=(16, 8))
     tr = SingleCellTransport(cfg=cfg, input_dim=8, output_dim=8)
@@ -90,6 +94,7 @@ def test_single_cell_transport_training_mode(rng):
     assert np.isfinite(float(out["cost"]))
 
 
+@pytest.mark.slow
 def test_second_order_training_reduces_transport_cost(rng):
     """Training grad flows THROUGH grad Psi (double backprop) — the reference's
     hardest numerical path (triple_flow/2_icnn_core.py:181-211 under AMP)."""

@@ -126,6 +126,7 @@ def test_cfm_sb_variance_profile(rng):
     assert near_mid > near_end
 
 
+@pytest.mark.slow
 def test_flow_training_reduces_loss(rng):
     """OTFlow learns the straight-line field between two Gaussians."""
     cfg = FlowConfig(latent_dim=8, hidden_dim=64, n_layers=2,
@@ -220,6 +221,7 @@ def _tfm_cfg():
     )
 
 
+@pytest.mark.slow
 def test_triple_flow_model_forward_and_losses(rng):
     cfg = _tfm_cfg()
     model = TripleFlowModel(cfg=cfg)

@@ -4,6 +4,7 @@ including a pipelined ESM block stack with mask/positions riding the ring."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh, PartitionSpec as P
 
 from clip_dplm_tpu.parallel.pipeline import pipeline_apply, stack_layer_params
@@ -13,6 +14,7 @@ def _pipe_mesh(n=4):
     return Mesh(np.array(jax.devices()[:n]), ("pipe",))
 
 
+@pytest.mark.slow
 def test_pipeline_matches_sequential_fwd_and_grads(rng):
     L, M, micro, D = 8, 4, 4, 16
     mesh = _pipe_mesh(4)
@@ -53,6 +55,7 @@ def test_pipeline_matches_sequential_fwd_and_grads(rng):
                                atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipelined_esm_blocks_match_sequential(rng):
     """ESM blocks cut into 4 stages: the (hidden, mask, positions) pytree
     travels the ring; equality with the plain layer loop."""
@@ -104,6 +107,7 @@ def test_pipelined_esm_blocks_match_sequential(rng):
         np.asarray(got[0][0]), np.asarray(sequential()), atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipelined_esm_apply_matches_tower(rng):
     """Full-tower GPipe run path (embed replicated, trunk pipelined, head
     replicated) == the plain ESMTower, mean-residue pooled."""

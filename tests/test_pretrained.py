@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from clip_dplm_tpu.config import Config, apply_overrides
 from clip_dplm_tpu.data.cells import one_hot_labels
@@ -9,6 +10,7 @@ from clip_dplm_tpu.train import create_train_state
 from clip_dplm_tpu.utils.pretrained import load_pretrained, save_pretrained
 
 
+@pytest.mark.slow
 def test_pretrained_roundtrip(tmp_path, rng):
     cfg = apply_overrides(Config(), [
         "tower_a.input_dim=16", "tower_a.hidden_size=32",

@@ -96,6 +96,7 @@ def test_tp_multi_step_stays_sharded(rng):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_tp_sharded_esm_inference(rng):
     """Frozen 'large' protein tower inference with kernels sharded over the
     model axis (the TP plan for the 650M tower, SURVEY.md sec 2.7)."""

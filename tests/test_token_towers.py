@@ -138,12 +138,12 @@ def test_block_out_rows_is_exact_dce(rng):
     attention core is dead-code elimination, not approximation."""
     from clip_dplm_tpu.models.layers import TransformerBlock
 
-    x = jnp.asarray(rng.normal(size=(3, 12, 64)).astype(np.float32))
-    mask = jnp.asarray(np.arange(12)[None, :] < np.array([[12], [9], [7]]))
+    x = jnp.asarray(rng.normal(size=(2, 8, 32)).astype(np.float32))
+    mask = jnp.asarray(np.arange(8)[None, :] < np.array([[8], [5]]))
 
-    full = TransformerBlock(d_model=64, num_heads=4, dropout=0.0,
+    full = TransformerBlock(d_model=32, num_heads=2, dropout=0.0,
                             dtype=jnp.float32)
-    cut = TransformerBlock(d_model=64, num_heads=4, dropout=0.0,
+    cut = TransformerBlock(d_model=32, num_heads=2, dropout=0.0,
                            dtype=jnp.float32, out_rows=1)
     params = full.init(jax.random.PRNGKey(0), x, mask, deterministic=True)
 

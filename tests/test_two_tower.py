@@ -223,6 +223,7 @@ def test_multi_step_trainer_matches_single(mesh8):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grad_accum_cache_sees_full_batch():
     """With grad_accum_steps=2 the hard-negative cache must ingest EVERY
     microbatch's embeddings (old/clip_opt.py:75-81 caches every batch), not
