@@ -21,6 +21,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# The suite is compile-bound (every test jits fresh programs on the 8-device
+# mesh); a persistent compilation cache makes warm reruns ~2x faster. Keyed
+# by HLO hash, so code changes miss safely; >1s compiles only, to bound disk.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
