@@ -197,10 +197,19 @@ def cls_query_attention(
     f32 softmax, f32-accumulated value sum — attention_reference above).
     Used by TransformerBlock when `out_rows == 1` (last-block CLS
     truncation): computing all S query rows and slicing wastes a full
-    attention fwd+bwd (~5.6 ms/tower-block at flagship geometry)."""
+    attention fwd+bwd (~5.6 ms/tower-block at flagship geometry).
+
+    On TPU this routes to the pure-VPU Pallas kernel
+    (ops/short_attention.py::fused_cls_attention) — the XLA formulation
+    below spends ~10 ms/step in relayout copies at flagship geometry."""
     B, S, D3 = qkv.shape
     D = D3 // 3
     Dh = D // num_heads
+    if short_attn_packed_ok(qkv.shape, num_heads, mask):
+        from clip_dplm_tpu.ops.short_attention import fused_cls_attention
+
+        return fused_cls_attention(qkv, num_heads, mask=mask,
+                                   block_b=_short_attn_g())
     q0 = qkv[:, 0, :D].reshape(B, num_heads, 1, Dh)
     k = qkv[:, :, D:2 * D].reshape(B, S, num_heads, Dh)
     v = qkv[:, :, 2 * D:].reshape(B, S, num_heads, Dh)

@@ -633,6 +633,232 @@ def fused_short_attention_qkv_proj(
     return y
 
 
+# ---------------------------------------------------------------------------
+# CLS-query kernels: attention for query row 0 ONLY, from packed (B, S, 3D)
+# qkv. One query per head collapses the (S, S) score matrix to a column, so
+# the whole computation is 2 fwd / 4 bwd head-batched dots per batch row
+# (vs 16 in the full kernel): every per-head reduction/expansion goes
+# through constant head-mask matrices (hsum[d, h] = 1 iff lane d belongs to
+# head h; hexp = hsum^T) so ONLY standard-layout ops exist — per-head
+# lane-offset slices, (S, 1) keepdims intermediates and row slices of
+# dynamically-indexed blocks all produce layouts Mosaic rejects ("Invalid
+# input layout", measured twice). The q part of qkv is read as an 8-row
+# block view (8/S of its DMA; row 0 extracted by a masked sublane
+# reduction). The XLA formulation of the same math
+# (ops/attention.py::cls_query_attention) costs ~10 ms/step at flagship
+# geometry in relayout copies + slice_convert fusions (trace r3); this
+# kernel reads the packed layout in place. Backward recomputes the softmax
+# (no residuals) and emits dqkv with only row 0 of the q part nonzero,
+# flowing straight into the qkv Dense VJP. Measured: flagship 8,194 ->
+# 8,727 pairs/s/chip (RESULTS.md r3).
+# ---------------------------------------------------------------------------
+
+
+def _cls_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, hsum_ref, hexp_ref,
+                    o_ref, *, scale: float, g_rows: int):
+    def row(g, _):
+        # extract query row 0 from the 8-row q block with a masked sublane
+        # reduction (row slices of dynamically-indexed blocks produced
+        # layouts Mosaic rejects; this is all standard ops)
+        q8 = q_ref[g].astype(jnp.float32)  # (8, D)
+        sel = jax.lax.broadcasted_iota(jnp.int32, q8.shape, 0) == 0
+        q0 = jnp.sum(jnp.where(sel, q8, 0.0), axis=0, keepdims=True)  # (1, D)
+        k = k_ref[g].astype(jnp.float32)  # (S, D)
+        v = v_ref[g].astype(jnp.float32)
+        # scores for ALL heads in one standard-layout dot: e[s, h*Dh+d] =
+        # k[s, h*Dh+d] * q0[h*Dh+d]; s_all[s, h] = sum_d e -> e @ hsum
+        e = k * jnp.broadcast_to(q0, k.shape)
+        s = jax.lax.dot_general(
+            e, hsum_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_ref[g]  # (S, Hp)
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
+        probs = p / l  # (S, Hp)
+        # per-head value sums, all heads at once: pv[h, d] = sum_s probs*v;
+        # head h owns lane block h -> mask with hexp and sublane-sum
+        pv = jax.lax.dot_general(
+            probs, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Hp, D)
+        o = jnp.sum(pv * hexp_ref[:], axis=0, keepdims=True)  # (1, D)
+        o_ref[g] = o.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, g_rows, row, 0)
+
+
+def _cls_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, hsum_ref, hexp_ref,
+                    do_ref, dqkv_ref, *, scale: float, g_rows: int):
+    S = k_ref.shape[1]
+    D = k_ref.shape[-1]
+    row_is0 = jax.lax.broadcasted_iota(jnp.int32, (S, D), 0) == 0
+
+    def row(g, _):
+        q8 = q_ref[g].astype(jnp.float32)  # (8, D); see fwd kernel comment
+        sel = jax.lax.broadcasted_iota(jnp.int32, q8.shape, 0) == 0
+        q0 = jnp.sum(jnp.where(sel, q8, 0.0), axis=0, keepdims=True)  # (1, D)
+        k = k_ref[g].astype(jnp.float32)
+        v = v_ref[g].astype(jnp.float32)
+        do = do_ref[g].astype(jnp.float32)  # (1, D)
+        q0_b = jnp.broadcast_to(q0, k.shape)
+        do_b = jnp.broadcast_to(do, v.shape)
+        # recompute the softmax (no residuals), then the rank-1 backward —
+        # every contraction is head-batched via the hsum/hexp masks, so no
+        # lane-offset intermediates exist
+        e = k * q0_b
+        s = jax.lax.dot_general(
+            e, hsum_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_ref[g]
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
+        probs = p / l  # (S, Hp)
+        dp = jax.lax.dot_general(
+            v * do_b, hsum_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S, Hp)
+        delta = jnp.sum(probs * dp, axis=0, keepdims=True)  # (1, Hp)
+        ds = probs * (dp - delta) * scale  # (S, Hp)
+        ds_exp = jax.lax.dot_general(
+            ds, hexp_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S, D) — ds_exp[s, h*Dh+d] = ds[s, h]
+        dq0 = jnp.sum(ds_exp * k, axis=0, keepdims=True)  # (1, D)
+        probs_exp = jax.lax.dot_general(
+            probs, hexp_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S, D)
+        dqkv_ref[g, :, 0:D] = jnp.where(
+            row_is0, jnp.broadcast_to(dq0, (S, D)), 0.0
+        ).astype(dqkv_ref.dtype)
+        dqkv_ref[g, :, D:2 * D] = (ds_exp * q0_b).astype(dqkv_ref.dtype)
+        dqkv_ref[g, :, 2 * D:3 * D] = (probs_exp * do_b).astype(dqkv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, g_rows, row, 0)
+
+
+def _cls_part_specs(G, S, D):
+    """Three views into the packed (B, S, 3D) qkv: the q part as the first
+    8 seq rows (Mosaic's sublane minimum; the kernel reads row 0 — 8/S of
+    the q DMA), k and v as full (G, S, D) blocks."""
+    return [
+        pl.BlockSpec((G, 8, D), lambda i: (i, 0, 0)),
+        pl.BlockSpec((G, S, D), lambda i: (i, 0, 1)),
+        pl.BlockSpec((G, S, D), lambda i: (i, 0, 2)),
+    ]
+
+
+_CLS_HP = 128  # head columns padded to the lane width
+
+
+def _cls_head_masks(D: int, heads: int):
+    """hsum (D, Hp): column h sums head h's Dh lanes; hexp = hsum^T expands
+    head columns back to their lane blocks. Grid-invariant kernel inputs."""
+    Dh = D // heads
+    lane_head = np.arange(D) // Dh  # head owning each lane
+    hsum = (lane_head[:, None] == np.arange(_CLS_HP)[None, :])
+    hsum = jnp.asarray(hsum, jnp.float32)
+    return hsum, hsum.T.copy()
+
+
+def _cls_mask_specs(D):
+    return [
+        pl.BlockSpec((D, _CLS_HP), lambda i: (0, 0)),
+        pl.BlockSpec((_CLS_HP, D), lambda i: (0, 0)),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _cls_attn_core(qkv, bias, heads, scale, G, interpret):
+    B, S, D3 = qkv.shape
+    D = D3 // 3
+    hsum, hexp = _cls_head_masks(D, heads)
+    return pl.pallas_call(
+        functools.partial(_cls_fwd_kernel, scale=scale, g_rows=G),
+        grid=(B // G,),
+        in_specs=_cls_part_specs(G, S, D) + [
+            pl.BlockSpec((G, S, _CLS_HP), lambda i: (i, 0, 0))
+        ] + _cls_mask_specs(D),
+        out_specs=pl.BlockSpec((G, 1, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), qkv.dtype),
+        compiler_params=_vmem_params(qkv, G, 1),
+        interpret=interpret,
+    )(qkv, qkv, qkv, bias, hsum, hexp)
+
+
+def _cls_attn_fwd(qkv, bias, heads, scale, G, interpret):
+    o = _cls_attn_core(qkv, bias, heads, scale, G, interpret)
+    return o, (qkv, bias)
+
+
+def _cls_attn_bwd(heads, scale, G, interpret, res, do):
+    qkv, bias = res
+    B, S, D3 = qkv.shape
+    D = D3 // 3
+    hsum, hexp = _cls_head_masks(D, heads)
+    dqkv = pl.pallas_call(
+        functools.partial(_cls_bwd_kernel, scale=scale, g_rows=G),
+        grid=(B // G,),
+        in_specs=_cls_part_specs(G, S, D) + [
+            pl.BlockSpec((G, S, _CLS_HP), lambda i: (i, 0, 0))
+        ] + _cls_mask_specs(D) + [
+            pl.BlockSpec((G, 1, D), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((G, S, D3), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, D3), qkv.dtype),
+        compiler_params=_vmem_params(qkv, G, 2),
+        interpret=interpret,
+    )(qkv, qkv, qkv, bias, hsum, hexp, do.astype(qkv.dtype))
+    return dqkv, None
+
+
+_cls_attn_core.defvjp(_cls_attn_fwd, _cls_attn_bwd)
+
+
+def fused_cls_attention(
+    qkv: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Attention output for query row 0 only, (B, 1, D), from packed
+    (B, S, 3D) qkv — semantics of `multihead_attention(q, k, v)[:, :1]`.
+    Head-batched mask-contraction kernel (see the section comment above);
+    used by TransformerBlock's `out_rows == 1` CLS-truncation path on TPU."""
+    B, S, D3 = qkv.shape
+    if D3 % 3:
+        raise ValueError(f"packed qkv needs last dim divisible by 3, got {D3}")
+    D = D3 // 3
+    if D % num_heads:
+        raise ValueError(f"D={D} not divisible by num_heads={num_heads}")
+    Dh = D // num_heads
+    if scale is None:
+        scale = 1.0 / (Dh ** 0.5)
+    Sp = _round_up(S, 128)
+    G = block_b
+    Bp = _round_up(B, G)
+    if mask is None:
+        mask = jnp.ones((B, S), dtype=bool)
+    maskp = mask
+    if Sp != S or Bp != B:
+        qkv = jnp.pad(qkv, ((0, Bp - B), (0, Sp - S), (0, 0)))
+        maskp = jnp.pad(mask, ((0, Bp - B), (0, Sp - S)))
+    # pre-broadcast over the padded head columns: a (B, S, 1) f32 array is
+    # tile-padded to 128 lanes in HBM anyway, so this costs no extra bytes
+    # and keeps the in-kernel add a standard-layout op
+    bias = jnp.broadcast_to(
+        jnp.where(maskp, 0.0, NEG_INF).astype(jnp.float32)[:, :, None],
+        (Bp, Sp, _CLS_HP))
+    o = _cls_attn_core(qkv, bias, num_heads, float(scale), G, interpret)
+    return o[:B]
+
+
 def fused_short_attention(
     q: jax.Array,
     k: jax.Array,

@@ -264,3 +264,47 @@ def test_dispatch_routes_short_heads(rng, monkeypatch):
     calls.clear()
     attention.attention_dispatch(qh, kh, vh, mask=mask, use_flash=False)
     assert calls == []
+
+
+def test_cls_attention_matches_reference(rng):
+    """fused_cls_attention == multihead_attention(...)[:, :1]: values and
+    the full dqkv gradient, masked and unmasked (the TransformerBlock
+    out_rows==1 path)."""
+    from clip_dplm_tpu.ops.attention import cls_query_attention
+    from clip_dplm_tpu.ops.short_attention import fused_cls_attention
+
+    B, S, D, heads = 4, 128, 64, 4
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)).astype(np.float32))
+    lens = rng.integers(S // 2, S + 1, B)
+    mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+    ct = jnp.asarray(rng.normal(size=(B, 1, D)).astype(np.float32))
+
+    for m in (None, mask):
+        want = cls_query_attention(qkv, heads, mask=m)  # XLA formulation
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_cls_attention(qkv, heads, mask=m, block_b=2,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-4)
+
+        g_ref = jax.grad(lambda x: jnp.sum(
+            cls_query_attention(x, heads, mask=m) * ct))(qkv)
+        with pltpu.force_tpu_interpret_mode():
+            g_got = jax.grad(lambda x: jnp.sum(fused_cls_attention(
+                x, heads, mask=m, block_b=2, interpret=True) * ct))(qkv)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_cls_attention_unaligned_batch(rng):
+    """B not divisible by block_b pads and slices correctly."""
+    from clip_dplm_tpu.ops.attention import cls_query_attention
+    from clip_dplm_tpu.ops.short_attention import fused_cls_attention
+
+    B, S, D, heads = 3, 64, 32, 2
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)).astype(np.float32))
+    want = cls_query_attention(qkv, heads)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_cls_attention(qkv, heads, block_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
