@@ -236,11 +236,14 @@ class TransformerBlock(nn.Module):
     ln_dtype: Dtype = jnp.float32
     # Keep only the first `out_rows` tokens after the attention core: the
     # residual stream, FFN half and block output are computed for those rows
-    # only. Pure dead-code elimination when downstream pooling reads just
-    # those rows (cls/first): FFN, LNs and dropout are row-local, so values
-    # AND gradients are bitwise those of the full block followed by a slice
-    # — XLA cannot see this DCE through the attention custom call, and the
-    # last block's FFN chain is ~15 ms/tower-block at flagship geometry.
+    # only. Exact dead-code elimination when downstream pooling reads just
+    # those rows (cls/first): FFN and LNs are row-local, so deterministic
+    # values AND gradients equal the full block followed by a slice — XLA
+    # cannot see this DCE through the attention custom call, and the last
+    # block's FFN chain is ~15 ms/tower-block at flagship geometry. With
+    # dropout ACTIVE the computation stays correct but is not bitwise
+    # replay-identical to the full block: nn.Dropout draws its mask over the
+    # (sliced) input shape, so the random bits differ (same distribution).
     out_rows: Optional[int] = None
 
     @nn.compact

@@ -17,8 +17,10 @@ TPU-native differences from the reference:
   * for cls/first pooling the LAST block computes its FFN half — and the
     final LayerNorm runs — on token 0 only (TransformerBlock.out_rows):
     row-local ops make this exact dead-code elimination of the reference's
-    full-block-then-pool computation, identical values and gradients
-    (tests/test_token_towers.py::test_block_out_rows_is_exact_dce).
+    full-block-then-pool computation, identical deterministic values and
+    gradients (tests/test_token_towers.py::test_block_out_rows_is_exact_dce);
+    with dropout active the masks are drawn at the sliced shape, so noise
+    differs per step (same distribution, not bitwise replay-identical).
 """
 
 from __future__ import annotations

@@ -205,7 +205,9 @@ def cls_query_attention(
     B, S, D3 = qkv.shape
     D = D3 // 3
     Dh = D // num_heads
-    if short_attn_packed_ok(qkv.shape, num_heads, mask):
+    # the kernel's head-mask matrices cover at most 128 head columns (the
+    # lane width); beyond that, fall through to the XLA formulation
+    if num_heads <= 128 and short_attn_packed_ok(qkv.shape, num_heads, mask):
         from clip_dplm_tpu.ops.short_attention import fused_cls_attention
 
         return fused_cls_attention(qkv, num_heads, mask=mask,

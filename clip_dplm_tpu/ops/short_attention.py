@@ -837,6 +837,10 @@ def fused_cls_attention(
     D = D3 // 3
     if D % num_heads:
         raise ValueError(f"D={D} not divisible by num_heads={num_heads}")
+    if num_heads > _CLS_HP:
+        raise ValueError(
+            f"num_heads={num_heads} exceeds the {_CLS_HP} head columns of "
+            "the head-mask matrices; use the XLA cls_query_attention path")
     Dh = D // num_heads
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)

@@ -378,3 +378,55 @@ def test_materialized_raw_at_max_scale(rng):
         denom = max(float(np.linalg.norm(x0)), 1e-12)
         rel = float(np.linalg.norm(x1 - x0)) / denom
         assert rel < 1e-2, f"{name} rel L2 err {rel:.2e} at max scale"
+
+
+@pytest.mark.parametrize("shape", [(48, 256, 16, 128), (40, 300, 16, 128)])
+def test_merged_backward_multitile_matches_twopass(rng, monkeypatch, shape):
+    """The merged single-pass backward on a MULTI-tile grid (nm>1, nn>1,
+    incl. a padded-batch case) == the two-pass formulation on identical
+    inputs. Covers the grid-persistent acc_b accumulator, the parked
+    dy_index output map and the cross-row flush ordering, which the
+    B=48 1x1-grid loss tests never exercise."""
+    from clip_dplm_tpu.ops.fused_infonce import (
+        RAW_QSCALE,
+        _round_up,
+        _sym_grad_passes_from_raw,
+    )
+
+    m, n, block_m, block_n = shape
+    d = 32
+    a = rng.normal(size=(m, d)).astype(np.float32)
+    b = rng.normal(size=(n, d)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    b /= np.linalg.norm(b, axis=-1, keepdims=True)
+    scale = jnp.asarray(np.float32(7.0))
+
+    mp, np_ = _round_up(m, block_m), _round_up(n, block_n)
+    raw = a @ b.T
+    raw_q = np.zeros((mp, np_), np.int16)
+    raw_q[:m, :n] = np.round(raw * RAW_QSCALE).astype(np.int16)
+    s = raw_q[:m, :n].astype(np.float32) * (7.0 / RAW_QSCALE)
+    lse_row = jnp.asarray(
+        np.log(np.exp(s - s.max(1, keepdims=True)).sum(1, keepdims=True))
+        + s.max(1, keepdims=True))
+    lse_col = jnp.asarray(
+        (np.log(np.exp(s - s.max(0, keepdims=True)).sum(0, keepdims=True))
+         + s.max(0, keepdims=True)).T)
+
+    args = (jnp.asarray(raw_q), jnp.asarray(a), jnp.asarray(b), scale,
+            lse_row, lse_col)
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("CLIP_DPLM_LOSS_MERGED", mode)
+        with pltpu.force_tpu_interpret_mode():
+            outs[mode] = jax.jit(
+                lambda *xs: _sym_grad_passes_from_raw(
+                    *xs, block_m=block_m, block_n=block_n)
+            )(*args)
+        jax.clear_caches()  # env is read at trace time
+    for got, want, name in zip(outs["1"], outs["0"],
+                               ["acc_a", "rowdot", "acc_b"]):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4,
+            err_msg=f"{name} merged multi-tile mismatch",
+        )
