@@ -258,6 +258,71 @@ def esm_config_from_name(name: str, **overrides) -> ESMConfig:
     return ESMConfig(name=name, **{**geom, **overrides})
 
 
+def make_pipelined_esm_fn(
+    cfg: ESMConfig,
+    params,
+    *,
+    mesh,
+    pipe_axis: str = "model",
+    num_microbatches: Optional[int] = None,
+    pooling: str = "mean_residues",
+    dtype: Any = jnp.bfloat16,
+    param_dtype: Any = jnp.float32,
+):
+    """Build the pipelined ESM forward ONCE and return a reusable jitted
+    `(tokens, mask=None) -> pooled` callable: the layer stack
+    (`stack_layer_params` — a full param-tree restack, 3B+ at the presets)
+    and the `jit(shard_map(...))` closure are constructed here, not per
+    batch — calling `pipelined_esm_apply` in a loop re-stacked and
+    RECOMPILED the whole pipeline program every chunk."""
+    from jax.sharding import PartitionSpec as P
+
+    from clip_dplm_tpu.parallel.pipeline import (
+        pipeline_apply,
+        stack_layer_params,
+    )
+
+    tower = ESMTower(cfg=cfg, dtype=dtype, param_dtype=param_dtype)
+    stacked = stack_layer_params(params, cfg.num_layers)
+    block_mod = EsmBlock(
+        d_model=cfg.d_model, num_heads=cfg.num_heads,
+        ln_eps=cfg.layer_norm_eps, dtype=dtype, param_dtype=param_dtype)
+    n_stages = mesh.shape[pipe_axis]
+    M = num_microbatches or n_stages
+
+    def block_fn(p_i, carry):
+        h, m, pos = carry
+        return (block_mod.apply({"params": p_i}, h, m, pos), m, pos)
+
+    def inner(stacked_l, toks_r, mask_r):
+        B = toks_r.shape[0]
+        h, m2, pos = tower.apply(
+            {"params": params}, toks_r, mask_r, method="embed")
+        resh = lambda x: x.reshape((M, B // M) + x.shape[1:])
+        x_micro = (resh(h), resh(m2),
+                   jnp.broadcast_to(pos, (M,) + pos.shape))
+        ys = pipeline_apply(block_fn, stacked_l, x_micro, axis_name=pipe_axis)
+        h_out = ys[0].reshape((B,) + ys[0].shape[2:])
+        return tower.apply(
+            {"params": params}, h_out, toks_r, mask_r, pooling, method="head")
+
+    jitted = jax.jit(jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(pipe_axis), P(), P()),
+        out_specs=P(), check_vma=False,
+    ))
+
+    def fn(tokens: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        if tokens.shape[0] % M:
+            raise ValueError(
+                f"batch {tokens.shape[0]} not divisible by {M} microbatches")
+        if mask is None:
+            mask = tokens != ESMTower.PAD_IDX
+        return jitted(stacked, tokens, mask)
+
+    return fn
+
+
 def pipelined_esm_apply(
     cfg: ESMConfig,
     params,
@@ -278,47 +343,16 @@ def pipelined_esm_apply(
     the pipe axis, and microbatches stream through the GPipe ring
     (parallel/pipeline.py). Verified equal to the plain tower
     (tests/test_pipeline.py::test_pipelined_esm_apply_matches_tower).
+
+    One-shot convenience: for repeated batches use `make_pipelined_esm_fn`
+    (or `PipelinedESMTower`, which caches it) — this function rebuilds the
+    layer stack and the jitted pipeline program on every call.
     """
-    from jax.sharding import PartitionSpec as P
-
-    from clip_dplm_tpu.parallel.pipeline import (
-        pipeline_apply,
-        stack_layer_params,
-    )
-
-    tower = ESMTower(cfg=cfg, dtype=dtype, param_dtype=param_dtype)
-    stacked = stack_layer_params(params, cfg.num_layers)
-    block_mod = EsmBlock(
-        d_model=cfg.d_model, num_heads=cfg.num_heads,
-        ln_eps=cfg.layer_norm_eps, dtype=dtype, param_dtype=param_dtype)
-    B, S = tokens.shape
-    n_stages = mesh.shape[pipe_axis]
-    M = num_microbatches or n_stages
-    if B % M:
-        raise ValueError(f"batch {B} not divisible by {M} microbatches")
-    if mask is None:
-        mask = tokens != ESMTower.PAD_IDX
-
-    def block_fn(p_i, carry):
-        h, m, pos = carry
-        return (block_mod.apply({"params": p_i}, h, m, pos), m, pos)
-
-    def inner(stacked_l, toks_r, mask_r):
-        h, m2, pos = tower.apply(
-            {"params": params}, toks_r, mask_r, method="embed")
-        resh = lambda x: x.reshape((M, B // M) + x.shape[1:])
-        x_micro = (resh(h), resh(m2),
-                   jnp.broadcast_to(pos, (M,) + pos.shape))
-        ys = pipeline_apply(block_fn, stacked_l, x_micro, axis_name=pipe_axis)
-        h_out = ys[0].reshape((B,) + ys[0].shape[2:])
-        return tower.apply(
-            {"params": params}, h_out, toks_r, mask_r, pooling, method="head")
-
-    return jax.jit(jax.shard_map(
-        inner, mesh=mesh,
-        in_specs=(P(pipe_axis), P(), P()),
-        out_specs=P(), check_vma=False,
-    ))(stacked, tokens, mask)
+    return make_pipelined_esm_fn(
+        cfg, params, mesh=mesh, pipe_axis=pipe_axis,
+        num_microbatches=num_microbatches, pooling=pooling, dtype=dtype,
+        param_dtype=param_dtype,
+    )(tokens, mask)
 
 
 class PipelinedESMTower:
@@ -354,18 +388,26 @@ class PipelinedESMTower:
         self.dtype = dtype
         self.param_dtype = param_dtype
         self._tower = ESMTower(cfg=cfg, dtype=dtype, param_dtype=param_dtype)
+        # (id(params), pooling) -> built pipeline fn: the layer restack and
+        # the jit(shard_map) program are built once and reused across batches
+        self._fns: Dict[Any, Any] = {}
 
     def init(self, rng, tokens, mask=None):
         return self._tower.init(rng, tokens, mask)
 
     def apply(self, variables, tokens, mask=None, *,
               pooling: str = "mean_residues"):
-        return pipelined_esm_apply(
-            self.cfg, variables["params"], tokens, mask,
-            mesh=self.mesh, pipe_axis=self.pipe_axis,
-            num_microbatches=self.num_microbatches, pooling=pooling,
-            dtype=self.dtype, param_dtype=self.param_dtype,
-        )
+        key = (id(variables["params"]), pooling)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = make_pipelined_esm_fn(
+                self.cfg, variables["params"],
+                mesh=self.mesh, pipe_axis=self.pipe_axis,
+                num_microbatches=self.num_microbatches, pooling=pooling,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+            )
+            self._fns = {key: fn}  # keep one entry; params swaps invalidate
+        return fn(tokens, mask)
 
 
 # ---------------------------------------------------------------------------

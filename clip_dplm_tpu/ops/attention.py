@@ -165,23 +165,6 @@ def _short_attn_g() -> int:
     return int(os.environ.get("CLIP_DPLM_SHORT_ATTN_G", "8"))
 
 
-def packed_qkv_attention(
-    qkv: jax.Array,
-    num_heads: int,
-    mask: Optional[jax.Array] = None,
-) -> Optional[jax.Array]:
-    """Try the packed short-S kernel on an unsplit (B, S, 3D) qkv tensor —
-    the jnp.split copies (and their backward concat) never materialize.
-    Returns None when the shape regime doesn't qualify (caller splits and
-    goes through multihead_attention instead)."""
-    if short_attn_packed_ok(qkv.shape, num_heads, mask):
-        from clip_dplm_tpu.ops.short_attention import fused_short_attention_qkv
-
-        return fused_short_attention_qkv(qkv, num_heads, mask=mask,
-                                         block_b=_short_attn_g())
-    return None
-
-
 def cls_query_attention(
     qkv: jax.Array,
     num_heads: int,
@@ -199,7 +182,7 @@ def cls_query_attention(
     truncation): computing all S query rows and slicing wastes a full
     attention fwd+bwd (~5.6 ms/tower-block at flagship geometry).
 
-    On TPU this routes to the pure-VPU Pallas kernel
+    On TPU this routes to the head-batched mask-contraction Pallas kernel
     (ops/short_attention.py::fused_cls_attention) — the XLA formulation
     below spends ~10 ms/step in relayout copies at flagship geometry."""
     B, S, D3 = qkv.shape

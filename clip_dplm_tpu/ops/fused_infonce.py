@@ -1163,8 +1163,8 @@ def _sym_lse_save_kernel(x_ref, y_ref, scale_ref, colmask_ref, rowmask_ref,
 # whole-operand VMEM residency: below this byte size the (n, d) embedding
 # operand of a loss kernel is loaded ONCE as a grid-invariant block instead
 # of re-streaming an (block, d) tile per outer grid step (which costs
-# nm * n * d * esize of redundant DMA). 12 MB covers B=8192 at d<=1024 bf16;
-# bigger shapes keep the streaming path.
+# nm * n * d * esize of redundant DMA). 12 MB covers B=8192 at d<=768 bf16
+# (d=1024 is 16 MB and takes the streaming path); bigger shapes stream.
 RESIDENT_BYTES_LIMIT = 12 * 1024 * 1024
 
 

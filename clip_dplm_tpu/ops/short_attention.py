@@ -17,14 +17,16 @@ a single kernel that recomputes the (S, S) probabilities (bit-identical max/
 normalizer) and emits dq, dk, dv together — no lse/delta residuals at all.
 
 Two block layouts (measured on v5e, scripts/tpu_short_attn_probe.py):
-  * layout='bhsd' (default): blocks are (G, H, S, Dh) — per-head slices are
-    native sublane-tiled (S, Dh) arrays, no lane rotates. The wrapper takes
-    (B, S, D) and lets XLA produce the head-split layout (fused into the
-    producing matmul's epilogue).
-  * layout='bsd': blocks are (G, S, D) and heads are lane-offset slices —
-    zero XLA-side relayout, but Dh=64 slices at odd 64-lane offsets force
-    Mosaic relayouts that cost more than the saved transpose (measured
-    4.5 vs 3.6 ms XLA at the flagship shape; 'bhsd' wins instead).
+  * layout='bsd' (the DISPATCH DEFAULT): blocks are (G, S, D), heads are
+    lane-offset slices — zero XLA-side relayout. ISOLATED, the in-kernel
+    lane rotates make it slower than bhsd (4.5 vs 3.6 ms at the flagship
+    shape), but IN-MODEL it wins: XLA's head-split transposes around the
+    bhsd entry cost more than the rotates save (RESULTS.md r3 — keep the
+    default unless the in-model A/B says otherwise for your geometry).
+  * layout='bhsd': blocks are (G, H, S, Dh) — per-head slices are native
+    sublane-tiled (S, Dh) arrays; the wrapper takes (B, S, D) and lets XLA
+    produce the head-split layout. Fastest standalone; the split/merge
+    relayout bills elsewhere in the model.
 
 Masking: (B, S) key-validity (True = real token), same convention as
 ops/attention.py. Fully-padded rows produce zeros (normalizer clamped).
@@ -422,7 +424,10 @@ def _fwd_call_qkv(qkv, bias, wo, bo, *, heads, scale, G, interpret,
     if with_proj:
         in_specs.append(pl.BlockSpec((D, D), lambda i: (0, 0)))
         in_specs.append(pl.BlockSpec((1, D), lambda i: (0, 0)))
-        args += [wo, bo]
+        # cast to the kernel dtype HERE (inside the custom VJP) so the
+        # param cotangents stay f32 — casting in the public wrapper would
+        # round dWo/dbo to bf16 on their way to the f32 params
+        args += [wo.astype(qkv.dtype), bo.astype(qkv.dtype)]
     out_specs = [o_spec]
     out_shape = [jax.ShapeDtypeStruct((B, S, D), qkv.dtype)]
     if save_probs:
@@ -462,7 +467,7 @@ def _bwd_call_qkv(qkv, bias, do, o, probs, wo, *, heads, scale, G,
     args = [qkv, bias, do]
     if with_proj:
         in_specs.append(pl.BlockSpec((D, D), lambda i: (0, 0)))
-        args.append(wo)
+        args.append(wo.astype(qkv.dtype))
     if probs is not None:
         in_specs.append(_probs_spec(G, heads, S))
         args.append(probs)
@@ -531,12 +536,15 @@ def _short_attn_qkv_proj_bwd(heads, scale, G, interpret, save_probs, res,
     B, S, D = o.shape
     o2 = o.reshape(B * S, D)
     dy2 = dy_c.reshape(B * S, D)
+    # keep f32: the wo/bo primals are the RAW param values (the kernel-dtype
+    # cast happens inside the calls above), so these cotangents reach the
+    # f32 params unquantized — matching nn.Dense and fused_dense semantics
     dwo = jax.lax.dot_general(
         o2, dy2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(wo.dtype)
-    dbo = jnp.sum(dy2.astype(jnp.float32), axis=0)[None, :].astype(qkv.dtype)
-    return dqkv, None, dwo, dbo
+    dbo = jnp.sum(dy2.astype(jnp.float32), axis=0)[None, :]
+    return dqkv, None, dwo, dbo.astype(wo.dtype)
 
 
 _short_attn_core_qkv_proj.defvjp(_short_attn_qkv_proj_fwd,
@@ -568,7 +576,10 @@ def fused_short_attention_qkv(
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
     Sp = _round_up(S, 128)
-    G = block_b
+    # clamp the rows-per-program to the actual batch: small-batch callers
+    # (B=1 scoring through attention_dispatch) would otherwise pad to
+    # block_b rows and compute up to block_b x the real work
+    G = max(1, min(block_b, B))
     Bp = _round_up(B, G)
     if mask is None:
         mask = jnp.ones((B, S), dtype=bool)
@@ -614,7 +625,10 @@ def fused_short_attention_qkv_proj(
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
     Sp = _round_up(S, 128)
-    G = block_b
+    # clamp the rows-per-program to the actual batch: small-batch callers
+    # (B=1 scoring through attention_dispatch) would otherwise pad to
+    # block_b rows and compute up to block_b x the real work
+    G = max(1, min(block_b, B))
     Bp = _round_up(B, G)
     if mask is None:
         mask = jnp.ones((B, S), dtype=bool)
@@ -626,7 +640,7 @@ def fused_short_attention_qkv_proj(
     if save_probs is None:
         save_probs = Bp * num_heads * Sp * Sp * 2 <= 512 * 1024 * 1024
     y = _short_attn_core_qkv_proj(
-        qkv, bias, wo.astype(qkv.dtype), bo.reshape(1, D).astype(qkv.dtype),
+        qkv, bias, wo, bo.reshape(1, D),
         num_heads, float(scale), G, interpret, bool(save_probs))
     if Sp != S or Bp != B:
         y = y[:B, :S]
@@ -845,7 +859,10 @@ def fused_cls_attention(
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
     Sp = _round_up(S, 128)
-    G = block_b
+    # clamp the rows-per-program to the actual batch: small-batch callers
+    # (B=1 scoring through attention_dispatch) would otherwise pad to
+    # block_b rows and compute up to block_b x the real work
+    G = max(1, min(block_b, B))
     Bp = _round_up(B, G)
     if mask is None:
         mask = jnp.ones((B, S), dtype=bool)
@@ -902,7 +919,10 @@ def fused_short_attention(
         scale = 1.0 / (Dh ** 0.5)
 
     Sp = _round_up(S, 128)
-    G = block_b
+    # clamp the rows-per-program to the actual batch: small-batch callers
+    # (B=1 scoring through attention_dispatch) would otherwise pad to
+    # block_b rows and compute up to block_b x the real work
+    G = max(1, min(block_b, B))
     Bp = _round_up(B, G)
     if mask is None:
         mask = jnp.ones((B, S), dtype=bool)
@@ -952,7 +972,10 @@ def fused_short_attention_heads(
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
     Sp = _round_up(S, 128)
-    G = block_b
+    # clamp the rows-per-program to the actual batch: small-batch callers
+    # (B=1 scoring through attention_dispatch) would otherwise pad to
+    # block_b rows and compute up to block_b x the real work
+    G = max(1, min(block_b, B))
     Bp = _round_up(B, G)
     if mask is None:
         mask = jnp.ones((B, S), dtype=bool)

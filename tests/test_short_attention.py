@@ -308,3 +308,30 @@ def test_cls_attention_unaligned_batch(rng):
         got = fused_cls_attention(qkv, heads, block_b=2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_single_row_batch_clamps_block(rng):
+    """B=1 callers (e.g. single-sequence scoring through attention_dispatch)
+    clamp rows-per-program to the batch instead of padding to block_b and
+    computing 8x dead work; values still match the reference."""
+    from clip_dplm_tpu.ops.attention import _merge_heads, _split_heads
+    from clip_dplm_tpu.ops.short_attention import (
+        fused_short_attention,
+        fused_short_attention_heads,
+    )
+
+    q, k, v, mask = _inputs(rng, B=1, S=96, D=64)
+    heads = 2
+    want = short_attention_reference(q, k, v, heads, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_short_attention(q, k, v, heads, mask=mask, block_b=8,
+                                    layout="bsd", interpret=True)
+        qh, kh, vh = (_split_heads(t, heads) for t in (q, k, v))
+        got_h = _merge_heads(fused_short_attention_heads(
+            qh, kh, vh, mask=mask, block_b=8, interpret=True))
+    valid = np.asarray(mask)[:, :, None]
+    for g in (got, got_h):
+        np.testing.assert_allclose(
+            np.asarray(g) * valid, np.asarray(want) * valid,
+            atol=1e-5, rtol=1e-4,
+        )
