@@ -388,9 +388,10 @@ class PipelinedESMTower:
         self.dtype = dtype
         self.param_dtype = param_dtype
         self._tower = ESMTower(cfg=cfg, dtype=dtype, param_dtype=param_dtype)
-        # (id(params), pooling) -> built pipeline fn: the layer restack and
-        # the jit(shard_map) program are built once and reused across batches
-        self._fns: Dict[Any, Any] = {}
+        # one-slot memo: the layer restack and the jit(shard_map) program
+        # are built once per (params, pooling) and reused across batches
+        self._fn_key = None
+        self._fn = None
 
     def init(self, rng, tokens, mask=None):
         return self._tower.init(rng, tokens, mask)
@@ -398,16 +399,15 @@ class PipelinedESMTower:
     def apply(self, variables, tokens, mask=None, *,
               pooling: str = "mean_residues"):
         key = (id(variables["params"]), pooling)
-        fn = self._fns.get(key)
-        if fn is None:
-            fn = make_pipelined_esm_fn(
+        if self._fn_key != key:
+            self._fn = make_pipelined_esm_fn(
                 self.cfg, variables["params"],
                 mesh=self.mesh, pipe_axis=self.pipe_axis,
                 num_microbatches=self.num_microbatches, pooling=pooling,
                 dtype=self.dtype, param_dtype=self.param_dtype,
             )
-            self._fns = {key: fn}  # keep one entry; params swaps invalidate
-        return fn(tokens, mask)
+            self._fn_key = key
+        return self._fn(tokens, mask)
 
 
 # ---------------------------------------------------------------------------

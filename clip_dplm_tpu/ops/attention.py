@@ -202,7 +202,12 @@ def cls_query_attention(
         "bhqd,bshd->bhqs", q0, k, preferred_element_type=jnp.float32
     ) * (1.0 / (Dh ** 0.5))
     if mask is not None:
-        logits = logits + jnp.where(mask[:, None, None, :], 0.0, _NEG_INF)
+        if mask.ndim == 2:  # key padding mask (B, S)
+            logits = logits + jnp.where(mask[:, None, None, :], 0.0,
+                                        _NEG_INF)
+        else:  # full (B, 1, S, S) mask — keep its query-0 row, as
+            # attention_reference + slice would
+            logits = logits + jnp.where(mask[:, :, :1, :], 0.0, _NEG_INF)
     w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
         "bhqs,bshd->bqhd", w.astype(v.dtype), v,

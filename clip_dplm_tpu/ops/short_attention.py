@@ -522,12 +522,12 @@ def _short_attn_qkv_proj_fwd(qkv, bias, wo, bo, heads, scale, G, interpret,
     o, probs, y = _fwd_call_qkv(qkv, bias, wo, bo, heads=heads, scale=scale,
                                 G=G, interpret=interpret,
                                 save_probs=save_probs)
-    return y, (qkv, bias, o, probs, wo)
+    return y, (qkv, bias, o, probs, wo, jnp.zeros((0,), bo.dtype))
 
 
 def _short_attn_qkv_proj_bwd(heads, scale, G, interpret, save_probs, res,
                              dy):
-    qkv, bias, o, probs, wo = res
+    qkv, bias, o, probs, wo, bo_tag = res
     dy_c = dy.astype(qkv.dtype)
     dqkv = _bwd_call_qkv(qkv, bias, dy_c, None if save_probs else o, probs,
                          wo, heads=heads, scale=scale, G=G,
@@ -544,7 +544,7 @@ def _short_attn_qkv_proj_bwd(heads, scale, G, interpret, save_probs, res,
         preferred_element_type=jnp.float32,
     ).astype(wo.dtype)
     dbo = jnp.sum(dy2.astype(jnp.float32), axis=0)[None, :]
-    return dqkv, None, dwo, dbo.astype(wo.dtype)
+    return dqkv, None, dwo, dbo.astype(bo_tag.dtype)
 
 
 _short_attn_core_qkv_proj.defvjp(_short_attn_qkv_proj_fwd,
