@@ -64,6 +64,29 @@ def rotary_embed(x: jax.Array, positions: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def rotary_embed_bsd(
+    x: jax.Array, positions: jax.Array, num_heads: int
+) -> jax.Array:
+    """rotary_embed in the head-major (B, S, D) layout, D = H * Dh.
+
+    Equals `merge_heads(rotary_embed(split_heads(x)))` without the head
+    split/merge transposes: the (B, S, H, Dh) view is a free bitcast and
+    everything else is elementwise, so XLA fuses the whole thing into the
+    producing matmul's epilogue. Used by the packed-qkv short-attention path
+    (EsmBlock below), where q/k must be rotated while still packed."""
+    B, S, D = x.shape
+    Dh = D // num_heads
+    half = Dh // 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[:, None].astype(jnp.float32) * freqs[None, :]  # (S, half)
+    cos = jnp.cos(angles)[None, :, None, :]  # (1, S, 1, half)
+    sin = jnp.sin(angles)[None, :, None, :]
+    xh = x.reshape(B, S, num_heads, Dh)
+    x1, x2 = xh[..., :half], xh[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.reshape(B, S, D).astype(x.dtype)
+
+
 class EsmBlock(nn.Module):
     """Pre-LN transformer block with rotary q/k (ESM-2 layer semantics).
 
@@ -82,34 +105,69 @@ class EsmBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, positions):
+        from clip_dplm_tpu.models.layers import _DenseParams
+        from clip_dplm_tpu.ops.attention import (
+            packed_qkv_attention_proj,
+            short_attn_packed_ok,
+        )
+
         H = self.num_heads
-        Dh = self.d_model // H
+        D = self.d_model
+        Dh = D // H
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
                          param_dtype=self.param_dtype,
                          name="ln_attn")(x).astype(self.dtype)
-        q = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="q")(h)
-        k = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="k")(h)
-        v = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="v")(h)
         B, S, _ = h.shape
-
-        def heads(t):
-            return t.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
-
-        qh, kh, vh = heads(q), heads(k), heads(v)
-        qh = rotary_embed(qh, positions)
-        kh = rotary_embed(kh, positions)
-        if self.seq_axis is not None:
-            from clip_dplm_tpu.ops.ring_attention import ring_flash_attention
-
-            attn = ring_flash_attention(qh, kh, vh, self.seq_axis, mask=mask)
+        # q/k/v/out params are declared layout-identically to nn.Dense (same
+        # names, kernel/bias, lecun_normal/zeros) so the HF converter and
+        # checkpoints are path-independent; which compute path consumes them
+        # is a trace-time dispatch.
+        wq, bq = _DenseParams(features=D, param_dtype=self.param_dtype,
+                              name="q")(D)
+        wk, bk = _DenseParams(features=D, param_dtype=self.param_dtype,
+                              name="k")(D)
+        wv, bv = _DenseParams(features=D, param_dtype=self.param_dtype,
+                              name="v")(D)
+        wo, bo = _DenseParams(features=D, param_dtype=self.param_dtype,
+                              name="out")(D)
+        if self.seq_axis is None and short_attn_packed_ok((B, S, 3 * D), H,
+                                                          mask):
+            # packed short-S path (the flagship's winning formulation,
+            # RESULTS.md r3): one fused qkv matmul, rotary applied in the
+            # packed (B, S, D) layout (no head split/merge transposes — the
+            # layout copies were 7.1 ms/block in the flagship trace), and
+            # attention + out-projection in one Pallas kernel with the
+            # scores and attention output VMEM-resident
+            # (ops/short_attention.py::fused_short_attention_qkv_proj).
+            w_qkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            b_qkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            qkv = h @ w_qkv + b_qkv
+            qr = rotary_embed_bsd(qkv[..., :D], positions, H)
+            kr = rotary_embed_bsd(qkv[..., D:2 * D], positions, H)
+            qkv = jnp.concatenate([qr, kr, qkv[..., 2 * D:]], axis=-1)
+            attn = packed_qkv_attention_proj(qkv, wo, bo, H, mask=mask)
         else:
-            attn = attention_dispatch(qh, kh, vh, mask=mask)
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, self.d_model)
-        attn = nn.Dense(self.d_model, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="out")(attn)
+            q = h @ wq.astype(self.dtype) + bq.astype(self.dtype)
+            k = h @ wk.astype(self.dtype) + bk.astype(self.dtype)
+            v = h @ wv.astype(self.dtype) + bv.astype(self.dtype)
+
+            def heads(t):
+                return t.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+
+            qh, kh, vh = heads(q), heads(k), heads(v)
+            qh = rotary_embed(qh, positions)
+            kh = rotary_embed(kh, positions)
+            if self.seq_axis is not None:
+                from clip_dplm_tpu.ops.ring_attention import (
+                    ring_flash_attention,
+                )
+
+                attn = ring_flash_attention(qh, kh, vh, self.seq_axis,
+                                            mask=mask)
+            else:
+                attn = attention_dispatch(qh, kh, vh, mask=mask)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, S, D)
+            attn = attn @ wo.astype(self.dtype) + bo.astype(self.dtype)
         x = x + attn
 
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,

@@ -94,14 +94,49 @@ def _put_h(ref, g, h, heads, layout, val):
 # ---------------------------------------------------------------------------
 
 
+def _rope_rot(t, cos, sin):
+    """Rotate-half RoPE on one head block t (S, Dh); cos/sin (S, Dh//2) f32.
+
+    ESM-2 convention (models/esm.py::rotary_embed): out = [t1*cos - t2*sin,
+    t2*cos + t1*sin]. f32 math, caller casts back. Pure VPU work — the
+    kernel is matmul-instruction-bound, so this rides free where the XLA
+    formulation cost a full (B, S, 3D) rewrite + relayout copies
+    (pad_maximum fusions, ~0.5 ms/layer at DPLM geometry)."""
+    half = cos.shape[-1]
+    t = t.astype(jnp.float32)
+    t1, t2 = t[:, :half], t[:, half:]
+    return jnp.concatenate([t1 * cos - t2 * sin, t2 * cos + t1 * sin],
+                           axis=-1)
+
+
+def _rope_rot_inv(g, cos, sin):
+    """Transpose (= inverse) rotation: maps d(rot(t)) cotangents to d(t)."""
+    half = cos.shape[-1]
+    g = g.astype(jnp.float32)
+    g1, g2 = g[:, :half], g[:, half:]
+    return jnp.concatenate([g1 * cos + g2 * sin, g2 * cos - g1 * sin],
+                           axis=-1)
+
+
 def _fwd_kernel_qkv(qkv_ref, bias_ref, *refs, heads: int, scale: float,
-                    g_rows: int, save_probs: bool, with_proj: bool):
+                    g_rows: int, save_probs: bool, with_proj: bool,
+                    emit_o: bool = True, rope: bool = False):
     refs = list(refs)
+    cos_ref = refs.pop(0) if rope else None
+    sin_ref = refs.pop(0) if rope else None
     wo_ref = refs.pop(0) if with_proj else None
     bo_ref = refs.pop(0) if with_proj else None
-    o_ref = refs.pop(0)
-    probs_ref = refs.pop(0) if save_probs else None
-    y_ref = refs.pop(0) if with_proj else None
+    if emit_o:
+        o_ref = refs.pop(0)
+        probs_ref = refs.pop(0) if save_probs else None
+        y_ref = refs.pop(0) if with_proj else None
+    else:
+        # inference (primal) path: y is the only HBM output; the
+        # pre-projection attention output lives in a VMEM scratch ref
+        # (passed after the outputs) and the probs residual never exists
+        y_ref = refs.pop(0)
+        o_ref = refs.pop(0)
+        probs_ref = None
     D = qkv_ref.shape[-1] // 3
     Dh = D // heads
 
@@ -111,6 +146,9 @@ def _fwd_kernel_qkv(qkv_ref, bias_ref, *refs, heads: int, scale: float,
             q = qkv_ref[g, :, h * Dh:(h + 1) * Dh]
             k = qkv_ref[g, :, D + h * Dh:D + (h + 1) * Dh]
             v = qkv_ref[g, :, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
+            if rope:
+                q = _rope_rot(q, cos_ref[:], sin_ref[:]).astype(v.dtype)
+                k = _rope_rot(k, cos_ref[:], sin_ref[:]).astype(v.dtype)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -378,9 +416,11 @@ def _bwd_call(q, k, v, bias, do, o, probs, *, heads, scale, G, layout,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _short_attn_core(q, k, v, bias, heads, scale, G, layout, interpret,
                      save_probs):
+    # primal (inference) path: probs is a backward residual — never write it
+    # when no grad will flow
     o, _ = _fwd_call(q, k, v, bias, heads=heads, scale=scale, G=G,
                      layout=layout, interpret=interpret,
-                     save_probs=save_probs)
+                     save_probs=False)
     return o
 
 
@@ -409,16 +449,18 @@ def _qkv_specs(G, S, D3):
 
 
 def _fwd_call_qkv(qkv, bias, wo, bo, *, heads, scale, G, interpret,
-                  save_probs):
+                  save_probs, emit_o=True):
     B, S, D3 = qkv.shape
     D = D3 // 3
     with_proj = wo is not None
+    if not emit_o:
+        assert with_proj and not save_probs  # inference-primal mode only
     io = _qkv_specs(G, S, D3)
     o_spec = pl.BlockSpec((G, S, D), lambda i: (i, 0, 0))
     bias_spec = pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0))
     kernel = functools.partial(_fwd_kernel_qkv, heads=heads, scale=scale,
                                g_rows=G, save_probs=save_probs,
-                               with_proj=with_proj)
+                               with_proj=with_proj, emit_o=emit_o)
     in_specs = [io, bias_spec]
     args = [qkv, bias]
     if with_proj:
@@ -428,24 +470,37 @@ def _fwd_call_qkv(qkv, bias, wo, bo, *, heads, scale, G, interpret,
         # param cotangents stay f32 — casting in the public wrapper would
         # round dWo/dbo to bf16 on their way to the f32 params
         args += [wo.astype(qkv.dtype), bo.astype(qkv.dtype)]
-    out_specs = [o_spec]
-    out_shape = [jax.ShapeDtypeStruct((B, S, D), qkv.dtype)]
-    if save_probs:
-        out_specs.append(_probs_spec(G, heads, S))
-        out_shape.append(jax.ShapeDtypeStruct((B, heads, S, S), jnp.bfloat16))
-    if with_proj:
-        out_specs.append(o_spec)
-        out_shape.append(jax.ShapeDtypeStruct((B, S, D), qkv.dtype))
+    scratch_shapes = []
+    if emit_o:
+        out_specs = [o_spec]
+        out_shape = [jax.ShapeDtypeStruct((B, S, D), qkv.dtype)]
+        if save_probs:
+            out_specs.append(_probs_spec(G, heads, S))
+            out_shape.append(
+                jax.ShapeDtypeStruct((B, heads, S, S), jnp.bfloat16))
+        if with_proj:
+            out_specs.append(o_spec)
+            out_shape.append(jax.ShapeDtypeStruct((B, S, D), qkv.dtype))
+    else:
+        # y only; o becomes a VMEM scratch (no dead HBM writes in inference)
+        out_specs = [o_spec]
+        out_shape = [jax.ShapeDtypeStruct((B, S, D), qkv.dtype)]
+        scratch_shapes = [pltpu.VMEM((G, S, D), qkv.dtype)]
     outs = pl.pallas_call(
         kernel,
         grid=(B // G,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=_vmem_params(qkv, G, 3 if save_probs else 2),
         interpret=interpret,
     )(*args)
+    if not isinstance(outs, (tuple, list)):
+        outs = [outs]
     outs = list(outs)
+    if not emit_o:
+        return None, None, outs[0]
     o = outs.pop(0)
     probs = outs.pop(0) if save_probs else None
     y = outs.pop(0) if with_proj else None
@@ -487,8 +542,11 @@ def _bwd_call_qkv(qkv, bias, do, o, probs, wo, *, heads, scale, G,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _short_attn_core_qkv(qkv, bias, heads, scale, G, interpret, save_probs):
+    # primal (inference) path: probs is a residual for the backward only —
+    # never write it when no grad will flow (save_probs stays a nondiff arg
+    # so the differentiated path keeps its configured behavior)
     o, _, _ = _fwd_call_qkv(qkv, bias, None, None, heads=heads, scale=scale,
-                            G=G, interpret=interpret, save_probs=save_probs)
+                            G=G, interpret=interpret, save_probs=False)
     return o
 
 
@@ -512,8 +570,13 @@ _short_attn_core_qkv.defvjp(_short_attn_qkv_fwd, _short_attn_qkv_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def _short_attn_core_qkv_proj(qkv, bias, wo, bo, heads, scale, G, interpret,
                               save_probs):
+    # primal (inference) path: o and probs are backward residuals — skip
+    # their HBM writes entirely (o lives in a VMEM scratch, probs never
+    # exists). The differentiated path goes through _short_attn_qkv_proj_fwd
+    # below, which emits both as configured.
     _, _, y = _fwd_call_qkv(qkv, bias, wo, bo, heads=heads, scale=scale,
-                            G=G, interpret=interpret, save_probs=save_probs)
+                            G=G, interpret=interpret, save_probs=False,
+                            emit_o=False)
     return y
 
 

@@ -38,12 +38,19 @@ def main():
     params = model.init(key, jnp.zeros((2, 8), jnp.int32))["params"]
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
 
+    # DPLM_RNG=unsafe_rbg switches the sampling keys to the hardware RNG
+    # (threefry is the jax default; the per-step Gumbel draw over
+    # (B, S, vocab) is threefry VPU work the rbg generator does in hardware)
+    impl = os.environ.get("DPLM_RNG", "")
+    mk_key = (lambda s: jax.random.key(s, impl=impl)) if impl \
+        else jax.random.PRNGKey
+
     run = jax.jit(lambda k: sample(model, params, k, B, length,
                                    num_steps=steps))
-    toks, lp = run(key)  # compile + warmup
+    toks, lp = run(mk_key(0))  # compile + warmup
     float(jnp.sum(lp))
     t0 = time.perf_counter()
-    toks, lp = run(jax.random.PRNGKey(1))
+    toks, lp = run(mk_key(1))
     assert bool(jnp.all(toks[:, 0] == 0))
     float(jnp.sum(lp))
     dt = time.perf_counter() - t0

@@ -83,6 +83,33 @@ def build_two_tower(what: str, iters: int, overrides=()):
     return run, (state.params, batch)
 
 
+def build_dplm(what: str, iters: int, overrides=()):
+    """TRACE_MODEL=dplm: the serving-side sampler chain (tpu_dplm_probe.py
+    geometry). `iters` diffusion steps in the sampler's own lax.scan; per-op
+    totals divide by iters like the training traces. DPLM_RNG=unsafe_rbg
+    switches the Gumbel/noise key impl (threefry is the jax default)."""
+    from clip_dplm_tpu.config import Config, apply_overrides
+    from clip_dplm_tpu.models.dplm import DPLM, sample
+
+    B = int(os.environ.get("DPLM_B", 256))
+    length = int(os.environ.get("DPLM_LEN", 126))
+    cfg = apply_overrides(Config(), [
+        "dplm.d_model=640", "dplm.num_layers=12", "dplm.num_heads=10",
+    ] + list(overrides))
+    model = DPLM(cfg=cfg.dplm)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, 8), jnp.int32))["params"]
+    impl = os.environ.get("DPLM_RNG", "")
+    key = jax.random.key(0, impl=impl) if impl else jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(k):
+        toks, logp = sample(model, params, k, B, length, num_steps=iters)
+        return jnp.sum(logp)
+
+    return run, (key,)
+
+
 def build(what: str, iters: int, overrides=()):
     from clip_dplm_tpu.config import Config, apply_overrides
     from clip_dplm_tpu.models.token_towers import RNARBPCLIP
@@ -179,8 +206,8 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 20))
     topk = int(os.environ.get("TRACE_TOPK", 40))
     overrides = [o for o in os.environ.get("BENCH_OVERRIDES", "").split(",") if o]
-    builder = (build_two_tower
-               if os.environ.get("TRACE_MODEL") == "two_tower" else build)
+    builder = {"two_tower": build_two_tower, "dplm": build_dplm}.get(
+        os.environ.get("TRACE_MODEL", ""), build)
     run, args = builder(what, iters, overrides)
 
     # warmup/compile

@@ -51,6 +51,75 @@ def test_rotary_identity_at_zero():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x[:, :, :1]), atol=1e-6)
 
 
+def test_rotary_bsd_matches_head_split():
+    """rotary_embed_bsd == merge_heads(rotary_embed(split_heads(x))) — the
+    packed-layout rotary used by the EsmBlock packed-qkv path."""
+    from clip_dplm_tpu.models.esm import rotary_embed_bsd
+
+    rng = np.random.default_rng(1)
+    B, S, H, Dh = 3, 12, 4, 16
+    x = jnp.asarray(rng.normal(size=(B, S, H * Dh)).astype(np.float32))
+    pos = jnp.arange(S)
+    got = rotary_embed_bsd(x, pos, H)
+    xh = x.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    want = rotary_embed(xh, pos).transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_esm_block_packed_path_matches_split(monkeypatch):
+    """EsmBlock's packed short-S path (fused qkv matmul + packed rotary +
+    qkv_proj kernel) matches the head-split fallback — values and grads —
+    under interpret mode with the TPU dispatch forced on."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from clip_dplm_tpu.models.esm import EsmBlock
+    from clip_dplm_tpu.ops import attention as attn_mod
+
+    rng = np.random.default_rng(2)
+    B, S, D, H = 4, 64, 32, 4  # S >= 64 (packed-dispatch lower bound), Dh=8
+    block = EsmBlock(d_model=D, num_heads=H, dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+    mask = jnp.asarray(np.arange(S)[None, :] < rng.integers(40, S, B)[:, None])
+    pos = jnp.arange(S)
+    params = block.init(jax.random.PRNGKey(0), x, mask, pos)["params"]
+    w = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
+
+    def loss(p):
+        out = block.apply({"params": p}, x, mask, pos)
+        return jnp.sum(out * w)
+
+    monkeypatch.setenv("CLIP_DPLM_SHORT_ATTN", "0")
+    ref, ref_grad = jax.value_and_grad(loss)(params)
+
+    monkeypatch.setenv("CLIP_DPLM_SHORT_ATTN", "1")
+    monkeypatch.setenv("CLIP_DPLM_SHORT_ATTN_G", "2")
+    monkeypatch.setattr(attn_mod, "_on_tpu", lambda: True)
+    # force the exact-recompute backward: the bf16 saved-probs error budget
+    # is covered by the kernel-level tests; this test checks the BLOCK's
+    # packed wiring (fused qkv matmul, packed rotary, param sharing) exactly
+    import clip_dplm_tpu.ops.short_attention as sa_mod
+
+    orig = sa_mod.fused_short_attention_qkv_proj
+    monkeypatch.setattr(
+        sa_mod, "fused_short_attention_qkv_proj",
+        lambda *a, **kw: orig(*a, **{**kw, "save_probs": False}))
+    with pltpu.force_tpu_interpret_mode():
+        got, got_grad = jax.value_and_grad(loss)(params)
+
+    # the forward's p@v matmul rounds probs to bf16 by design
+    # (short_attention.py docstring) — the value carries ~1e-4 relative
+    np.testing.assert_allclose(float(got), float(ref), rtol=5e-4)
+    for path, g_ref in jax.tree_util.tree_flatten_with_path(ref_grad)[0]:
+        g_got = got_grad
+        for k in path:
+            g_got = g_got[k.key]
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), atol=1e-5, rtol=1e-3,
+            err_msg=f"grad diverges at {jax.tree_util.keystr(path)}",
+        )
+
+
 @pytest.fixture(scope="module")
 def hf_pair():
     torch = pytest.importorskip("torch")
