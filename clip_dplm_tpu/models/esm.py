@@ -142,10 +142,19 @@ class EsmBlock(nn.Module):
             w_qkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
             b_qkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
             qkv = h @ w_qkv + b_qkv
-            qr = rotary_embed_bsd(qkv[..., :D], positions, H)
-            kr = rotary_embed_bsd(qkv[..., D:2 * D], positions, H)
-            qkv = jnp.concatenate([qr, kr, qkv[..., 2 * D:]], axis=-1)
-            attn = packed_qkv_attention_proj(qkv, wo, bo, H, mask=mask)
+            import os
+            if os.environ.get("CLIP_DPLM_ROPE_KERNEL", "1") == "1" \
+                    and Dh % 2 == 0:
+                # rotary applied INSIDE the attention kernel (VPU work riding
+                # a matmul-bound kernel) — the XLA formulation below rewrites
+                # the whole (B, S, 3D) qkv array through HBM
+                attn = packed_qkv_attention_proj(qkv, wo, bo, H, mask=mask,
+                                                 rope_positions=positions)
+            else:
+                qr = rotary_embed_bsd(qkv[..., :D], positions, H)
+                kr = rotary_embed_bsd(qkv[..., D:2 * D], positions, H)
+                qkv = jnp.concatenate([qr, kr, qkv[..., 2 * D:]], axis=-1)
+                attn = packed_qkv_attention_proj(qkv, wo, bo, H, mask=mask)
         else:
             q = h @ wq.astype(self.dtype) + bq.astype(self.dtype)
             k = h @ wk.astype(self.dtype) + bk.astype(self.dtype)

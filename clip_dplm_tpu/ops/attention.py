@@ -222,15 +222,18 @@ def packed_qkv_attention_proj(
     bo: jax.Array,
     num_heads: int,
     mask: Optional[jax.Array] = None,
+    rope_positions: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Packed attention with the out-projection fused into the kernel
-    (caller must have checked short_attn_packed_ok)."""
+    (caller must have checked short_attn_packed_ok). rope_positions applies
+    ESM rotate-half RoPE to q/k inside the kernel."""
     from clip_dplm_tpu.ops.short_attention import (
         fused_short_attention_qkv_proj,
     )
 
     return fused_short_attention_qkv_proj(
-        qkv, wo, bo, num_heads, mask=mask, block_b=_short_attn_g())
+        qkv, wo, bo, num_heads, mask=mask, block_b=_short_attn_g(),
+        rope_positions=rope_positions)
 
 
 def multihead_attention(

@@ -178,8 +178,10 @@ def _fwd_kernel_qkv(qkv_ref, bias_ref, *refs, heads: int, scale: float,
 
 def _bwd_kernel_qkv(qkv_ref, bias_ref, do_ref, *refs, heads: int,
                     scale: float, g_rows: int, save_probs: bool,
-                    with_proj: bool):
+                    with_proj: bool, rope: bool = False):
     refs = list(refs)
+    cos_ref = refs.pop(0) if rope else None
+    sin_ref = refs.pop(0) if rope else None
     wo_ref = refs.pop(0) if with_proj else None
     if save_probs:
         probs_ref = refs.pop(0)
@@ -204,6 +206,12 @@ def _bwd_kernel_qkv(qkv_ref, bias_ref, do_ref, *refs, heads: int,
             q = qkv_ref[g, :, h * Dh:(h + 1) * Dh]
             k = qkv_ref[g, :, D + h * Dh:D + (h + 1) * Dh]
             v = qkv_ref[g, :, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
+            if rope:
+                # rotate EXACTLY as the forward did (same f32 math + cast)
+                # so the recompute path reproduces the probabilities
+                # bit-identically
+                q = _rope_rot(q, cos_ref[:], sin_ref[:]).astype(v.dtype)
+                k = _rope_rot(k, cos_ref[:], sin_ref[:]).astype(v.dtype)
             if with_proj:
                 do = do_full[:, h * Dh:(h + 1) * Dh].astype(jnp.float32)
             else:
@@ -228,12 +236,21 @@ def _bwd_kernel_qkv(qkv_ref, bias_ref, do_ref, *refs, heads: int,
                 delta = jnp.sum(do * o, axis=-1, keepdims=True)
             ds = prob * (dp - delta) * scale
             ds_c = ds.astype(k.dtype)
-            dqkv_ref[g, :, h * Dh:(h + 1) * Dh] = jax.lax.dot_general(
+            dq = jax.lax.dot_general(
                 ds_c, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
-            dqkv_ref[g, :, D + h * Dh:D + (h + 1) * Dh] = jax.lax.dot_general(
+                preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
                 ds_c, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+                preferred_element_type=jnp.float32)
+            if rope:
+                # cotangents are w.r.t. the ROTATED q/k; map them back to
+                # the unrotated qkv with the transpose rotation so dqkv
+                # flows straight into the qkv Dense VJP
+                dq = _rope_rot_inv(dq, cos_ref[:], sin_ref[:])
+                dk = _rope_rot_inv(dk, cos_ref[:], sin_ref[:])
+            dqkv_ref[g, :, h * Dh:(h + 1) * Dh] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, D + h * Dh:D + (h + 1) * Dh] = (
+                dk.astype(dqkv_ref.dtype))
             dqkv_ref[g, :, 2 * D + h * Dh:2 * D + (h + 1) * Dh] = (
                 jax.lax.dot_general(
                     prob.astype(do_ref.dtype), do.astype(do_ref.dtype),
@@ -448,11 +465,18 @@ def _qkv_specs(G, S, D3):
     return pl.BlockSpec((G, S, D3), lambda i: (i, 0, 0))
 
 
+def _rope_specs(S, half):
+    """Grid-invariant (S, half) f32 cos/sin blocks, shared by every head."""
+    spec = pl.BlockSpec((S, half), lambda i: (0, 0))
+    return [spec, spec]
+
+
 def _fwd_call_qkv(qkv, bias, wo, bo, *, heads, scale, G, interpret,
-                  save_probs, emit_o=True):
+                  save_probs, emit_o=True, rope_cs=None):
     B, S, D3 = qkv.shape
     D = D3 // 3
     with_proj = wo is not None
+    rope = rope_cs is not None
     if not emit_o:
         assert with_proj and not save_probs  # inference-primal mode only
     io = _qkv_specs(G, S, D3)
@@ -460,9 +484,12 @@ def _fwd_call_qkv(qkv, bias, wo, bo, *, heads, scale, G, interpret,
     bias_spec = pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0))
     kernel = functools.partial(_fwd_kernel_qkv, heads=heads, scale=scale,
                                g_rows=G, save_probs=save_probs,
-                               with_proj=with_proj, emit_o=emit_o)
+                               with_proj=with_proj, emit_o=emit_o, rope=rope)
     in_specs = [io, bias_spec]
     args = [qkv, bias]
+    if rope:
+        in_specs += _rope_specs(S, rope_cs[0].shape[-1])
+        args += list(rope_cs)
     if with_proj:
         in_specs.append(pl.BlockSpec((D, D), lambda i: (0, 0)))
         in_specs.append(pl.BlockSpec((1, D), lambda i: (0, 0)))
@@ -508,7 +535,7 @@ def _fwd_call_qkv(qkv, bias, wo, bo, *, heads, scale, G, interpret,
 
 
 def _bwd_call_qkv(qkv, bias, do, o, probs, wo, *, heads, scale, G,
-                  interpret):
+                  interpret, rope_cs=None):
     B, S, D3 = qkv.shape
     D = D3 // 3
     with_proj = wo is not None
@@ -517,9 +544,12 @@ def _bwd_call_qkv(qkv, bias, do, o, probs, wo, *, heads, scale, G,
     bias_spec = pl.BlockSpec((G, 1, S), lambda i: (i, 0, 0))
     kernel = functools.partial(_bwd_kernel_qkv, heads=heads, scale=scale,
                                g_rows=G, save_probs=probs is not None,
-                               with_proj=with_proj)
+                               with_proj=with_proj, rope=rope_cs is not None)
     in_specs = [io, bias_spec, d_spec]
     args = [qkv, bias, do]
+    if rope_cs is not None:
+        in_specs += _rope_specs(S, rope_cs[0].shape[-1])
+        args += list(rope_cs)
     if with_proj:
         in_specs.append(pl.BlockSpec((D, D), lambda i: (0, 0)))
         args.append(wo.astype(qkv.dtype))
@@ -540,61 +570,69 @@ def _bwd_call_qkv(qkv, bias, do, o, probs, wo, *, heads, scale, G,
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _short_attn_core_qkv(qkv, bias, heads, scale, G, interpret, save_probs):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _short_attn_core_qkv(qkv, bias, cos, sin, heads, scale, G, interpret,
+                         save_probs):
     # primal (inference) path: probs is a residual for the backward only —
     # never write it when no grad will flow (save_probs stays a nondiff arg
     # so the differentiated path keeps its configured behavior)
     o, _, _ = _fwd_call_qkv(qkv, bias, None, None, heads=heads, scale=scale,
-                            G=G, interpret=interpret, save_probs=False)
+                            G=G, interpret=interpret, save_probs=False,
+                            rope_cs=None if cos is None else (cos, sin))
     return o
 
 
-def _short_attn_qkv_fwd(qkv, bias, heads, scale, G, interpret, save_probs):
+def _short_attn_qkv_fwd(qkv, bias, cos, sin, heads, scale, G, interpret,
+                        save_probs):
     o, probs, _ = _fwd_call_qkv(qkv, bias, None, None, heads=heads,
                                 scale=scale, G=G, interpret=interpret,
-                                save_probs=save_probs)
-    return o, (qkv, bias, None if save_probs else o, probs)
+                                save_probs=save_probs,
+                                rope_cs=None if cos is None else (cos, sin))
+    return o, (qkv, bias, cos, sin, None if save_probs else o, probs)
 
 
 def _short_attn_qkv_bwd(heads, scale, G, interpret, save_probs, res, do):
-    qkv, bias, o, probs = res
+    qkv, bias, cos, sin, o, probs = res
     dqkv = _bwd_call_qkv(qkv, bias, do.astype(qkv.dtype), o, probs, None,
-                         heads=heads, scale=scale, G=G, interpret=interpret)
-    return dqkv, None
+                         heads=heads, scale=scale, G=G, interpret=interpret,
+                         rope_cs=None if cos is None else (cos, sin))
+    return dqkv, None, None, None
 
 
 _short_attn_core_qkv.defvjp(_short_attn_qkv_fwd, _short_attn_qkv_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _short_attn_core_qkv_proj(qkv, bias, wo, bo, heads, scale, G, interpret,
-                              save_probs):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _short_attn_core_qkv_proj(qkv, bias, wo, bo, cos, sin, heads, scale, G,
+                              interpret, save_probs):
     # primal (inference) path: o and probs are backward residuals — skip
     # their HBM writes entirely (o lives in a VMEM scratch, probs never
     # exists). The differentiated path goes through _short_attn_qkv_proj_fwd
     # below, which emits both as configured.
     _, _, y = _fwd_call_qkv(qkv, bias, wo, bo, heads=heads, scale=scale,
                             G=G, interpret=interpret, save_probs=False,
-                            emit_o=False)
+                            emit_o=False,
+                            rope_cs=None if cos is None else (cos, sin))
     return y
 
 
-def _short_attn_qkv_proj_fwd(qkv, bias, wo, bo, heads, scale, G, interpret,
-                             save_probs):
+def _short_attn_qkv_proj_fwd(qkv, bias, wo, bo, cos, sin, heads, scale, G,
+                             interpret, save_probs):
     o, probs, y = _fwd_call_qkv(qkv, bias, wo, bo, heads=heads, scale=scale,
                                 G=G, interpret=interpret,
-                                save_probs=save_probs)
-    return y, (qkv, bias, o, probs, wo, jnp.zeros((0,), bo.dtype))
+                                save_probs=save_probs,
+                                rope_cs=None if cos is None else (cos, sin))
+    return y, (qkv, bias, cos, sin, o, probs, wo, jnp.zeros((0,), bo.dtype))
 
 
 def _short_attn_qkv_proj_bwd(heads, scale, G, interpret, save_probs, res,
                              dy):
-    qkv, bias, o, probs, wo, bo_tag = res
+    qkv, bias, cos, sin, o, probs, wo, bo_tag = res
     dy_c = dy.astype(qkv.dtype)
     dqkv = _bwd_call_qkv(qkv, bias, dy_c, None if save_probs else o, probs,
                          wo, heads=heads, scale=scale, G=G,
-                         interpret=interpret)
+                         interpret=interpret,
+                         rope_cs=None if cos is None else (cos, sin))
     # dWo = o^T dy and dbo = column-sum ride XLA/MXU (o is a saved residual)
     B, S, D = o.shape
     o2 = o.reshape(B * S, D)
@@ -607,11 +645,26 @@ def _short_attn_qkv_proj_bwd(heads, scale, G, interpret, save_probs, res,
         preferred_element_type=jnp.float32,
     ).astype(wo.dtype)
     dbo = jnp.sum(dy2.astype(jnp.float32), axis=0)[None, :]
-    return dqkv, None, dwo, dbo.astype(bo_tag.dtype)
+    return dqkv, None, dwo, dbo.astype(bo_tag.dtype), None, None
 
 
 _short_attn_core_qkv_proj.defvjp(_short_attn_qkv_proj_fwd,
                                  _short_attn_qkv_proj_bwd)
+
+
+def _rope_cos_sin(positions: jax.Array, Dh: int, Sp: int):
+    """(Sp, Dh//2) f32 cos/sin tables for the in-kernel rotate-half RoPE
+    (ESM-2 frequency convention — models/esm.py::rotary_embed). Padded rows
+    get the identity rotation (cos=1, sin=0); they are masked out anyway."""
+    half = Dh // 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions.astype(jnp.float32)[:, None] * freqs[None, :]
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    S = positions.shape[0]
+    if Sp != S:
+        cos = jnp.pad(cos, ((0, Sp - S), (0, 0)), constant_values=1.0)
+        sin = jnp.pad(sin, ((0, Sp - S), (0, 0)))
+    return cos, sin
 
 
 def fused_short_attention_qkv(
@@ -621,6 +674,7 @@ def fused_short_attention_qkv(
     scale: Optional[float] = None,
     block_b: int = 8,
     save_probs: Optional[bool] = None,
+    rope_positions: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Packed variant: consumes the qkv projection output (B, S, 3D) with
@@ -628,7 +682,14 @@ def fused_short_attention_qkv(
     the (B, S, D) attention output. The jnp.split(qkv) slice copies and
     their backward concat never materialize — dqkv flows straight back into
     the qkv Dense VJP. Otherwise identical to fused_short_attention
-    (layout='bsd' semantics)."""
+    (layout='bsd' semantics).
+
+    rope_positions: (S,) positions — apply rotate-half RoPE (ESM-2
+    convention) to q/k INSIDE the kernel. The XLA formulation
+    (models/esm.py::rotary_embed_bsd) rewrites the whole (B, S, 3D) qkv
+    array through HBM; in-kernel it is pure VPU work riding a
+    matmul-instruction-bound kernel. dqkv cotangents come back w.r.t. the
+    UNROTATED qkv (transpose rotation applied in the backward kernel)."""
     B, S, D3 = qkv.shape
     if D3 % 3:
         raise ValueError(f"packed qkv needs last dim divisible by 3, got {D3}")
@@ -636,6 +697,8 @@ def fused_short_attention_qkv(
     if D % num_heads:
         raise ValueError(f"D={D} not divisible by num_heads={num_heads}")
     Dh = D // num_heads
+    if rope_positions is not None and Dh % 2:
+        raise ValueError(f"in-kernel RoPE needs even Dh, got {Dh}")
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
     Sp = _round_up(S, 128)
@@ -653,8 +716,10 @@ def fused_short_attention_qkv(
     bias = jnp.where(maskp, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
     if save_probs is None:
         save_probs = Bp * num_heads * Sp * Sp * 2 <= 512 * 1024 * 1024
-    o = _short_attn_core_qkv(qkv, bias, num_heads, float(scale), G,
-                             interpret, bool(save_probs))
+    cos, sin = (None, None) if rope_positions is None else _rope_cos_sin(
+        rope_positions, Dh, Sp)
+    o = _short_attn_core_qkv(qkv, bias, cos, sin, num_heads, float(scale),
+                             G, interpret, bool(save_probs))
     if Sp != S or Bp != B:
         o = o[:B, :S]
     return o
@@ -669,13 +734,16 @@ def fused_short_attention_qkv_proj(
     scale: Optional[float] = None,
     block_b: int = 8,
     save_probs: Optional[bool] = None,
+    rope_positions: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Packed qkv attention WITH the out-projection fused:
     y = attention(qkv) @ wo + bo, (B, S, D) out. The per-row attention
     output is VMEM-resident when the projection matmul runs, so the
     standalone out_proj op (and the backward's separate dy @ Wo^T pass)
-    disappear; dWo/dbo ride XLA from the saved attention output."""
+    disappear; dWo/dbo ride XLA from the saved attention output.
+    rope_positions: in-kernel rotate-half RoPE on q/k — see
+    fused_short_attention_qkv."""
     B, S, D3 = qkv.shape
     if D3 % 3:
         raise ValueError(f"packed qkv needs last dim divisible by 3, got {D3}")
@@ -685,6 +753,8 @@ def fused_short_attention_qkv_proj(
     if D % num_heads:
         raise ValueError(f"D={D} not divisible by num_heads={num_heads}")
     Dh = D // num_heads
+    if rope_positions is not None and Dh % 2:
+        raise ValueError(f"in-kernel RoPE needs even Dh, got {Dh}")
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
     Sp = _round_up(S, 128)
@@ -702,8 +772,10 @@ def fused_short_attention_qkv_proj(
     bias = jnp.where(maskp, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
     if save_probs is None:
         save_probs = Bp * num_heads * Sp * Sp * 2 <= 512 * 1024 * 1024
+    cos, sin = (None, None) if rope_positions is None else _rope_cos_sin(
+        rope_positions, Dh, Sp)
     y = _short_attn_core_qkv_proj(
-        qkv, bias, wo, bo.reshape(1, D),
+        qkv, bias, wo, bo.reshape(1, D), cos, sin,
         num_heads, float(scale), G, interpret, bool(save_probs))
     if Sp != S or Bp != B:
         y = y[:B, :S]

@@ -67,15 +67,18 @@ def test_rotary_bsd_matches_head_split():
                                atol=1e-6, rtol=1e-6)
 
 
-def test_esm_block_packed_path_matches_split(monkeypatch):
-    """EsmBlock's packed short-S path (fused qkv matmul + packed rotary +
-    qkv_proj kernel) matches the head-split fallback — values and grads —
-    under interpret mode with the TPU dispatch forced on."""
+@pytest.mark.parametrize("rope_kernel", ["1", "0"])
+def test_esm_block_packed_path_matches_split(monkeypatch, rope_kernel):
+    """EsmBlock's packed short-S path (fused qkv matmul + rotary + qkv_proj
+    kernel) matches the head-split fallback — values and grads — under
+    interpret mode with the TPU dispatch forced on. rope_kernel=1 applies
+    rotary inside the kernel; 0 uses the XLA rotary_embed_bsd rewrite."""
     from jax.experimental.pallas import tpu as pltpu
 
     from clip_dplm_tpu.models.esm import EsmBlock
     from clip_dplm_tpu.ops import attention as attn_mod
 
+    monkeypatch.setenv("CLIP_DPLM_ROPE_KERNEL", rope_kernel)
     rng = np.random.default_rng(2)
     B, S, D, H = 4, 64, 32, 4  # S >= 64 (packed-dispatch lower bound), Dh=8
     block = EsmBlock(d_model=D, num_heads=H, dtype=jnp.float32)

@@ -177,6 +177,55 @@ def test_packed_qkv_proj_matches_reference(rng):
         assert rel < 2e-2, f"{name} rel L2 err {rel:.2e} with saved probs"
 
 
+def test_packed_qkv_proj_rope_matches_xla_rotary(rng):
+    """In-kernel RoPE (rope_positions) == rotate q/k with rotary_embed_bsd
+    then attend — values and gradients w.r.t. the UNROTATED qkv (the
+    backward kernel applies the transpose rotation to dq/dk)."""
+    from clip_dplm_tpu.models.esm import rotary_embed_bsd
+    from clip_dplm_tpu.ops.short_attention import (
+        fused_short_attention_qkv_proj,
+    )
+
+    q, k, v, mask = _inputs(rng, B=2, S=64, D=64)
+    heads = 2  # Dh = 32 (even — rope requirement)
+    qkv = jnp.concatenate([q, k, v], axis=-1)
+    pos = jnp.arange(64)
+    wo = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32) * 0.1)
+    bo = jnp.asarray(rng.normal(size=(64,)).astype(np.float32) * 0.1)
+    w = mask[:, :, None].astype(jnp.float32)
+
+    def ref(qkv, wo, bo):
+        qr = rotary_embed_bsd(qkv[..., :64], pos, heads)
+        kr = rotary_embed_bsd(qkv[..., 64:128], pos, heads)
+        o = short_attention_reference(qr, kr, qkv[..., 128:], heads,
+                                      mask=mask)
+        return jnp.sum(jnp.sin((o @ wo + bo) * w))
+
+    l_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1, 2))(qkv, wo, bo)
+
+    for save_probs in (False, True):
+        def fused(qkv, wo, bo):
+            return jnp.sum(jnp.sin(fused_short_attention_qkv_proj(
+                qkv, wo, bo, heads, mask=mask, block_b=2,
+                save_probs=save_probs, rope_positions=pos,
+                interpret=True) * w))
+
+        with pltpu.force_tpu_interpret_mode():
+            l_f, g_f = jax.value_and_grad(
+                fused, argnums=(0, 1, 2))(qkv, wo, bo)
+        np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+        for gr, gf, name in zip(g_ref, g_f, ["dqkv", "dwo", "dbo"]):
+            gr = np.asarray(gr, np.float32)
+            gf = np.asarray(gf, np.float32)
+            if save_probs:  # bf16 saved-probs error budget: rel-L2 gate
+                rel = (float(np.linalg.norm(gf - gr))
+                       / max(float(np.linalg.norm(gr)), 1e-12))
+                assert rel < 2e-2, f"{name} rel {rel:.2e} (saved probs)"
+            else:
+                np.testing.assert_allclose(gf, gr, atol=5e-5, rtol=2e-3,
+                                           err_msg=name)
+
+
 def test_unaligned_shapes_padded(rng):
     """S and B not multiples of the block sizes: wrapper pads, results match
     on the real rows."""
