@@ -21,6 +21,7 @@ ESM-2 family geometry (public): 8M t6/320/20h, 35M t12/480/20h,
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
@@ -114,9 +115,15 @@ class EsmBlock(nn.Module):
         H = self.num_heads
         D = self.d_model
         Dh = D // H
+        ln_in = x
+        if os.environ.get("CLIP_DPLM_LN_FUSE_BARRIER", "0") == "1":
+            # keep the PREVIOUS block's ffn_out matmul fusion free of this
+            # LN's reduce epilogue (see the ffn-side comment below); the
+            # residual stream x itself stays un-barriered
+            ln_in = jax.lax.optimization_barrier(x)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
                          param_dtype=self.param_dtype,
-                         name="ln_attn")(x).astype(self.dtype)
+                         name="ln_attn")(ln_in).astype(self.dtype)
         B, S, _ = h.shape
         # q/k/v/out params are declared layout-identically to nn.Dense (same
         # names, kernel/bias, lecun_normal/zeros) so the HF converter and
@@ -142,7 +149,6 @@ class EsmBlock(nn.Module):
             w_qkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
             b_qkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
             qkv = h @ w_qkv + b_qkv
-            import os
             if os.environ.get("CLIP_DPLM_ROPE_KERNEL", "1") == "1" \
                     and Dh % 2 == 0:
                 # rotary applied INSIDE the attention kernel (VPU work riding
@@ -187,6 +193,13 @@ class EsmBlock(nn.Module):
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.d_model, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="ffn_out")(h)
+        # NOTE (DPLM d=640 trace): XLA fuses the NEXT block's ln_attn
+        # statistics into this ffn_out matmul as a kOutput fusion, picking
+        # the EmitAllBatchInSublanes emitter — the 107-GFLOP matmul runs at
+        # ~27% MXU (1.98 ms vs qkv's 0.44 ms at 93%). Barriering the block
+        # output to split that fusion made the sampler 2x SLOWER (46.4 ->
+        # 22.3 seqs/s); CLIP_DPLM_LN_FUSE_BARRIER=1 above barriers only the
+        # LN input instead (residual stream untouched) for A/B.
         return x + h
 
 
