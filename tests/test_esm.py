@@ -113,6 +113,12 @@ def test_esm_block_packed_path_matches_split(monkeypatch, rope_kernel):
     # the forward's p@v matmul rounds probs to bf16 by design
     # (short_attention.py docstring) — the value carries ~1e-4 relative
     np.testing.assert_allclose(float(got), float(ref), rtol=5e-4)
+
+    # primal (no-grad) path: the inference kernels skip residual writes
+    # (o in VMEM scratch, no probs) — must match the same loss value
+    with pltpu.force_tpu_interpret_mode():
+        got_primal = loss(params)
+    np.testing.assert_allclose(float(got_primal), float(ref), rtol=5e-4)
     for path, g_ref in jax.tree_util.tree_flatten_with_path(ref_grad)[0]:
         g_got = got_grad
         for k in path:

@@ -203,6 +203,20 @@ def test_packed_qkv_proj_rope_matches_xla_rotary(rng):
 
     l_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1, 2))(qkv, wo, bo)
 
+    # primal (inference) path with rope: emit_o=False — o lives in a VMEM
+    # scratch, probs never exists; this path only runs OUTSIDE of grad
+    qr = rotary_embed_bsd(qkv[..., :64], pos, heads)
+    kr = rotary_embed_bsd(qkv[..., 64:128], pos, heads)
+    o_ref = short_attention_reference(qr, kr, qkv[..., 128:], heads,
+                                      mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        y_primal = fused_short_attention_qkv_proj(
+            qkv, wo, bo, heads, mask=mask, block_b=2, rope_positions=pos,
+            interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y_primal), np.asarray(o_ref @ wo + bo),
+        atol=2e-3, rtol=2e-3)
+
     for save_probs in (False, True):
         def fused(qkv, wo, bo):
             return jnp.sum(jnp.sin(fused_short_attention_qkv_proj(
@@ -224,6 +238,29 @@ def test_packed_qkv_proj_rope_matches_xla_rotary(rng):
             else:
                 np.testing.assert_allclose(gf, gr, atol=5e-5, rtol=2e-3,
                                            err_msg=name)
+
+    # the packed NON-proj variant with rope (fused_short_attention_qkv):
+    # values + grads through the packed dqkv
+    from clip_dplm_tpu.ops.short_attention import fused_short_attention_qkv
+
+    def ref_noproj(qkv):
+        qr = rotary_embed_bsd(qkv[..., :64], pos, heads)
+        kr = rotary_embed_bsd(qkv[..., 64:128], pos, heads)
+        o = short_attention_reference(qr, kr, qkv[..., 128:], heads,
+                                      mask=mask)
+        return jnp.sum(jnp.sin(o * w))
+
+    def fused_noproj(qkv):
+        return jnp.sum(jnp.sin(fused_short_attention_qkv(
+            qkv, heads, mask=mask, block_b=2, save_probs=False,
+            rope_positions=pos, interpret=True) * w))
+
+    l_r2, g_r2 = jax.value_and_grad(ref_noproj)(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        l_f2, g_f2 = jax.value_and_grad(fused_noproj)(qkv)
+    np.testing.assert_allclose(float(l_f2), float(l_r2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f2), np.asarray(g_r2),
+                               atol=5e-5, rtol=2e-3)
 
 
 def test_unaligned_shapes_padded(rng):
