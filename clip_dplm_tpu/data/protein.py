@@ -72,6 +72,21 @@ def tokenize_batch(
     return out, mask
 
 
+def detokenize(ids: Sequence[int]) -> str:
+    """Token ids -> residue string; drops cls/eos/pad and stops at the first
+    <eos> (the DPLM sampler emits [cls] residues [eos] [pad...])."""
+    out = []
+    for i in ids:
+        i = int(i)
+        if i == EOS_IDX:
+            break
+        if i in (CLS_IDX, PAD_IDX):
+            continue
+        tok = ESM_VOCAB[i] if 0 <= i < len(ESM_VOCAB) else "X"
+        out.append(tok if len(tok) == 1 else "X")
+    return "".join(out)
+
+
 def random_protein(rng: np.random.Generator, length: int) -> str:
     """Synthetic sequence over the 20 standard residues (test fixture)."""
     residues = "LAGVSERTIDPKQNFYMHWC"

@@ -155,6 +155,7 @@ def sample(
     num_steps: Optional[int] = None,
     temperature: float = 1.0,
     logit_bias_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
+    lengths: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Generate (B, length+2) token sequences ([cls] residues [eos]).
 
@@ -162,16 +163,35 @@ def sample(
     residues, then re-mask everything except the top-confidence fraction
     given by the cosine schedule. `logit_bias_fn(tokens, logits) -> bias`
     lets a guidance model steer each step (soft CLIP guidance).
-    Returns (tokens, per-position logprob of the final choice).
+
+    `lengths` (optional, (B,) int): per-sequence residue counts for
+    mixed-length batches — `length` then acts as the padded maximum and
+    row i generates lengths[i] residues at positions 1..lengths[i], with
+    <eos> at lengths[i]+1 and <pad> beyond (one compiled program serves
+    every length mix at this padded shape — the serving path's batcher
+    relies on this). Returns (tokens, per-position logprob of the final
+    choice).
     """
     cfg = model.cfg
     num_steps = num_steps or cfg.num_diffusion_steps
     S = length + 2
-    valid = jnp.ones((batch_size, S), dtype=bool)
-    gen_region = jnp.zeros((batch_size, S), dtype=bool).at[:, 1:-1].set(True)
+    pos = jnp.arange(S)[None, :]
+    if lengths is None:
+        lengths = jnp.full((batch_size,), length, jnp.int32)
+    else:
+        lengths = jnp.asarray(lengths, jnp.int32)
+        if lengths.shape != (batch_size,):
+            raise ValueError(f"lengths must be shape ({batch_size},), "
+                             f"got {lengths.shape}")
+    eos_pos = (lengths + 1)[:, None]
+    gen_region = (pos >= 1) & (pos < eos_pos)
+    valid = pos <= eos_pos
 
-    init_tokens = jnp.full((batch_size, S), MASK_IDX, jnp.int32)
-    init_tokens = init_tokens.at[:, 0].set(CLS_IDX).at[:, -1].set(EOS_IDX)
+    init_tokens = jnp.where(
+        pos == 0, CLS_IDX,
+        jnp.where(pos == eos_pos, EOS_IDX,
+                  jnp.where(gen_region, MASK_IDX, PAD_IDX)),
+    ).astype(jnp.int32)
 
     # only real residues are sampleable
     vocab_bias = jnp.full((cfg.vocab_size,), -1e30, jnp.float32)
@@ -260,6 +280,7 @@ def clip_guided_sample(
     num_steps: Optional[int] = None,
     temperature: float = 1.0,
     logit_bias_fn: Optional[Callable] = None,
+    lengths: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Best-of-K CLIP-guided sampling.
 
@@ -275,7 +296,7 @@ def clip_guided_sample(
         toks, _ = sample(
             model, params, k, batch_size, length,
             num_steps=num_steps, temperature=temperature,
-            logit_bias_fn=logit_bias_fn,
+            logit_bias_fn=logit_bias_fn, lengths=lengths,
         )
         return toks
 
