@@ -126,6 +126,13 @@ class ESMConfig:
     token_dropout: bool = True
     layer_norm_eps: float = 1e-5  # facebook/esm2 checkpoints use 1e-5
     frozen: bool = True
+    # LoRA fine-tuning (models/lora.py): rank 0 disables. With rank > 0 the
+    # base tower is frozen per-weight (stop_gradient + masked optimizer —
+    # no Adam moments allocated for the base) and only the `<site>_lora`
+    # adapters train; targets ⊆ {q, k, v, out, ffn_in, ffn_out}.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: Tuple[str, ...] = ("q", "v")
 
 
 @dataclass(frozen=True)
@@ -249,6 +256,18 @@ class DPLMConfig:
     guidance_scale: float = 1.0
     guidance: str = "rerank"  # none | rerank | gradient
     num_candidates: int = 8  # for rerank guidance
+    # LoRA fine-tuning of the trunk (models/lora.py; e.g. specializing a
+    # warm-started 650M DPLM to a protein family): rank 0 disables
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: Tuple[str, ...] = ("q", "v")
+    # lax.scan over the layer stack (params stacked on axis 0): compiles ONE
+    # block instead of num_layers copies — at 650M-scale (33 layers) the
+    # unrolled trunk is minutes of XLA time per jit. Param tree changes from
+    # layer_<i>/... to layers/...(stacked); models/dplm.py::stack_dplm_layers
+    # converts. Off by default: unrolled layers let XLA fuse across block
+    # boundaries (the ffn_out+next-LN fusion is worth a few % at d=640).
+    scan_layers: bool = False
 
 
 @dataclass(frozen=True)

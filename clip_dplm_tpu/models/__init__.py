@@ -12,6 +12,12 @@ from clip_dplm_tpu.models.layers import (  # noqa: F401
 from clip_dplm_tpu.models.clip import TwoTowerCLIP  # noqa: F401
 from clip_dplm_tpu.models.token_towers import RNARBPCLIP, TokenTransformerTower  # noqa: F401
 from clip_dplm_tpu.models.esm import ESMTower, convert_esm_torch_params  # noqa: F401
+from clip_dplm_tpu.models.lora import (  # noqa: F401
+    LoRASpec,
+    merge_adapters,
+    merge_lora,
+    split_lora,
+)
 from clip_dplm_tpu.models.t5 import ProtT5Tower, convert_t5_torch_params  # noqa: F401
 from clip_dplm_tpu.models.rnabert import RNABertTower, convert_bert_torch_params  # noqa: F401
 from clip_dplm_tpu.models.protein_clip import ESMProteinCLIP  # noqa: F401

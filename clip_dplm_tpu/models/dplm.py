@@ -41,6 +41,31 @@ EOS_IDX = 2
 RESIDUE_LO, RESIDUE_HI = 4, 23
 
 
+class _CarryBlock(nn.Module):
+    """nn.scan adapter: wraps an EsmBlock class as (carry, *broadcast) ->
+    (carry, None) so the trunk can run as one compiled block scanned over
+    stacked per-layer params."""
+
+    block: Any
+    kw: Tuple  # sorted (key, value) items — hashable module attribute
+
+    @nn.compact
+    def __call__(self, h, mask, positions):
+        h = self.block(**dict(self.kw), name="block")(h, mask, positions)
+        return h, None
+
+
+def stack_dplm_layers(params, num_layers: int):
+    """Convert an unrolled DPLM param tree (layer_<i>/...) to the
+    scan_layers layout (layers/block/... stacked on axis 0) — e.g. to run a
+    warm-started or previously-trained trunk under scan_layers=true."""
+    layers = [params[f"layer_{i}"] for i in range(num_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    rest = {k: v for k, v in params.items() if not k.startswith("layer_")}
+    rest["layers"] = {"block": stacked}
+    return rest
+
+
 class DPLM(nn.Module):
     """Bidirectional denoising trunk + LM head over token ids."""
 
@@ -65,13 +90,28 @@ class DPLM(nn.Module):
         block = EsmBlock
         if self.remat:
             block = nn.remat(EsmBlock, static_argnums=())
-        for i in range(c.num_layers):
-            h = block(
-                d_model=c.d_model, num_heads=c.num_heads,
-                ln_eps=c.layer_norm_eps,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                name=f"layer_{i}",
-            )(h, mask, positions)
+        from clip_dplm_tpu.models.lora import spec_from
+        lora = spec_from(c)
+        blk_kw = dict(
+            d_model=c.d_model, num_heads=c.num_heads,
+            ln_eps=c.layer_norm_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            lora=lora,
+        )
+        if c.scan_layers:
+            # one compiled block, lax.scan over stacked layer params —
+            # at 33+ layers the unrolled trunk costs minutes of XLA time
+            scanned = nn.scan(
+                _CarryBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=c.num_layers,
+            )(block=block, kw=tuple(sorted(blk_kw.items())), name="layers")
+            h, _ = scanned(h, mask, positions)
+        else:
+            for i in range(c.num_layers):
+                h = block(**blk_kw, name=f"layer_{i}")(h, mask, positions)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
                          param_dtype=self.param_dtype, name="final_ln")(h)
         logits = nn.Dense(c.vocab_size, dtype=jnp.float32,

@@ -103,10 +103,15 @@ class EsmBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     seq_axis: Optional[str] = None
+    # LoRA adapter spec (models/lora.py) — None disables. Adapters add
+    # `<site>_lora` sibling modules; the base param tree is unchanged, so
+    # HF-converted checkpoints load with or without adapters.
+    lora: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, mask, positions):
         from clip_dplm_tpu.models.layers import _DenseParams
+        from clip_dplm_tpu.models.lora import LoRAPair
         from clip_dplm_tpu.ops.attention import (
             packed_qkv_attention_proj,
             short_attn_packed_ok,
@@ -115,6 +120,22 @@ class EsmBlock(nn.Module):
         H = self.num_heads
         D = self.d_model
         Dh = D // H
+        spec = self.lora
+        targets = spec.targets if spec is not None else ()
+
+        def _base(w):
+            # frozen-base LoRA: stop_gradient at use lets XLA DCE the
+            # site's dW matmul from the backward (the masked optimizer in
+            # train/state.py enforces the freeze regardless)
+            if spec is not None and spec.freeze_base:
+                return jax.lax.stop_gradient(w)
+            return w
+
+        def _pair(site: str, in_f: int, out_f: int) -> LoRAPair:
+            return LoRAPair(
+                in_features=in_f, features=out_f, rank=spec.rank,
+                alpha=spec.alpha, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"{site}_lora")
         ln_in = x
         if os.environ.get("CLIP_DPLM_LN_FUSE_BARRIER", "0") == "1":
             # keep the PREVIOUS block's ffn_out matmul fusion free of this
@@ -137,6 +158,14 @@ class EsmBlock(nn.Module):
                               name="v")(D)
         wo, bo = _DenseParams(features=D, param_dtype=self.param_dtype,
                               name="out")(D)
+        wq, bq, wk, bk = _base(wq), _base(bq), _base(wk), _base(bk)
+        wv, bv, wo, bo = _base(wv), _base(bv), _base(wo), _base(bo)
+        if "out" in targets:
+            # the packed kernel consumes wo with the pre-projection
+            # activation VMEM-resident, so the `out` adapter merges into
+            # the weight operand (mathematically identical to the
+            # activation-space form; grads flow to a/b through the merge)
+            wo = wo + _pair("out", D, D)(weight_only=True).astype(wo.dtype)
         if self.seq_axis is None and short_attn_packed_ok((B, S, 3 * D), H,
                                                           mask):
             # packed short-S path (the flagship's winning formulation,
@@ -149,6 +178,10 @@ class EsmBlock(nn.Module):
             w_qkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
             b_qkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
             qkv = h @ w_qkv + b_qkv
+            for i, t in enumerate(("q", "k", "v")):
+                if t in targets:
+                    qkv = qkv.at[..., i * D:(i + 1) * D].add(
+                        _pair(t, D, D)(h))
             if os.environ.get("CLIP_DPLM_ROPE_KERNEL", "1") == "1" \
                     and Dh % 2 == 0:
                 # rotary applied INSIDE the attention kernel (VPU work riding
@@ -165,6 +198,12 @@ class EsmBlock(nn.Module):
             q = h @ wq.astype(self.dtype) + bq.astype(self.dtype)
             k = h @ wk.astype(self.dtype) + bk.astype(self.dtype)
             v = h @ wv.astype(self.dtype) + bv.astype(self.dtype)
+            if "q" in targets:
+                q = q + _pair("q", D, D)(h)
+            if "k" in targets:
+                k = k + _pair("k", D, D)(h)
+            if "v" in targets:
+                v = v + _pair("v", D, D)(h)
 
             def heads(t):
                 return t.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
@@ -188,11 +227,30 @@ class EsmBlock(nn.Module):
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32,
                          param_dtype=self.param_dtype,
                          name="ln_ffn")(x).astype(self.dtype)
-        h = nn.Dense(self.ffn_mult * self.d_model, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="ffn_in")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.d_model, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="ffn_out")(h)
+        if spec is None:
+            h = nn.Dense(self.ffn_mult * self.d_model, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="ffn_in")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(self.d_model, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="ffn_out")(h)
+        else:
+            # manual dense path (same param names/init as nn.Dense) so the
+            # frozen base kernels can be stop_gradiented at use
+            F = self.ffn_mult * D
+            w1, b1 = _DenseParams(features=F, param_dtype=self.param_dtype,
+                                  name="ffn_in")(D)
+            w2, b2 = _DenseParams(features=D, param_dtype=self.param_dtype,
+                                  name="ffn_out")(F)
+            w1, b1, w2, b2 = _base(w1), _base(b1), _base(w2), _base(b2)
+            h_in = h
+            h = h @ w1.astype(self.dtype) + b1.astype(self.dtype)
+            if "ffn_in" in targets:
+                h = h + _pair("ffn_in", D, F)(h_in)
+            h = nn.gelu(h, approximate=False)
+            h_mid = h
+            h = h @ w2.astype(self.dtype) + b2.astype(self.dtype)
+            if "ffn_out" in targets:
+                h = h + _pair("ffn_out", F, D)(h_mid)
         # NOTE (DPLM d=640 trace): XLA fuses the NEXT block's ln_attn
         # statistics into this ffn_out matmul as a kOutput fusion, picking
         # the EmitAllBatchInSublanes emitter — the 107-GFLOP matmul runs at
@@ -233,12 +291,14 @@ class ESMTower(nn.Module):
         block = EsmBlock
         if self.remat:
             block = nn.remat(EsmBlock, static_argnums=())
+        from clip_dplm_tpu.models.lora import spec_from
         self.blocks = [
             block(
                 d_model=c.d_model, num_heads=c.num_heads,
                 ln_eps=c.layer_norm_eps,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 seq_axis=self.seq_axis,
+                lora=spec_from(c),
                 name=f"layer_{i}",
             )
             for i in range(c.num_layers)
@@ -362,11 +422,14 @@ def make_pipelined_esm_fn(
         stack_layer_params,
     )
 
+    from clip_dplm_tpu.models.lora import spec_from
+
     tower = ESMTower(cfg=cfg, dtype=dtype, param_dtype=param_dtype)
     stacked = stack_layer_params(params, cfg.num_layers)
     block_mod = EsmBlock(
         d_model=cfg.d_model, num_heads=cfg.num_heads,
-        ln_eps=cfg.layer_norm_eps, dtype=dtype, param_dtype=param_dtype)
+        ln_eps=cfg.layer_norm_eps, dtype=dtype, param_dtype=param_dtype,
+        lora=spec_from(cfg))
     n_stages = mesh.shape[pipe_axis]
     M = num_microbatches or n_stages
 

@@ -64,7 +64,10 @@ class ESMProteinCLIP(nn.Module):
             batch["protein_tokens"], batch.get("protein_mask"),
             pooling="mean_residues",
         )
-        if self.cfg.esm.frozen:
+        if self.cfg.esm.frozen and not self.cfg.esm.lora_rank:
+            # with LoRA active the adapters inside the tower must receive
+            # gradients; the base weights are frozen per-weight instead
+            # (stop_gradient at use in EsmBlock + the masked optimizer)
             prot = jax.lax.stop_gradient(prot)
         za = self.rna_proj(rna, deterministic=deterministic)
         zb = self.protein_proj(prot, deterministic=deterministic)

@@ -189,19 +189,39 @@ def build_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
 
 
 def freeze_subtrees(
-    tx: optax.GradientTransformation, params, frozen_keys
+    tx: optax.GradientTransformation, params, frozen_keys,
+    mask_moments: Optional[bool] = None,
 ) -> optax.GradientTransformation:
     """Zero the final updates for top-level param subtrees in `frozen_keys`.
 
     stop_gradient alone is not enough: AdamW's decoupled weight decay would
     still shrink frozen towers every step. Applied after the optimizer so
-    frozen params are bit-exact fixed."""
+    frozen params are bit-exact fixed.
+
+    `*_lora` adapter leaves (models/lora.py) inside a frozen subtree stay
+    trainable — that is the LoRA fine-tuning contract. When adapters are
+    present (or `mask_moments=True`), the inner optimizer itself is masked
+    to the trainable leaves, so NO Adam moments are allocated for the
+    frozen base (at ESM-650M that is ~2.6 GB of HBM back)."""
+    from clip_dplm_tpu.models.lora import has_lora_params, is_lora_path
+
     frozen = set(frozen_keys)
-    mask = {
-        k: jax.tree_util.tree_map(lambda _: k in frozen, v)
-        for k, v in params.items()
-    }
-    return optax.chain(tx, optax.masked(optax.set_to_zero(), mask))
+
+    def rec(tree, path):
+        if isinstance(tree, dict):
+            return {k: rec(v, path + (k,)) for k, v in tree.items()}
+        return path[0] in frozen and not is_lora_path(path)
+
+    fmask = {k: rec(v, (k,)) for k, v in params.items()}
+    if mask_moments is None:
+        mask_moments = has_lora_params(params)
+    zero_frozen = optax.masked(optax.set_to_zero(), fmask)
+    if mask_moments:
+        tmask = jax.tree_util.tree_map(lambda b: not b, fmask)
+        # masked(tx) passes frozen leaves' updates through UNCHANGED (raw
+        # grads), so the set_to_zero stage after it is load-bearing
+        return optax.chain(optax.masked(tx, tmask), zero_frozen)
+    return optax.chain(tx, zero_frozen)
 
 
 def create_train_state(
@@ -232,6 +252,13 @@ def create_train_state(
         tx = build_optimizer(cfg.train.optim)
         if not frozen_keys and cfg.esm.frozen and "esm_tower" in params:
             frozen_keys = ("esm_tower",)
+        if not frozen_keys and cfg.experiment == "dplm" and cfg.dplm.lora_rank:
+            # LoRA-specialize a (warm-started) DPLM trunk: adapters +
+            # final_ln + lm_head train, the trunk base is frozen
+            frozen_keys = tuple(
+                k for k in params
+                if k.startswith("layer_") or k == "embed_tokens"
+            )
         if frozen_keys:
             tx = freeze_subtrees(tx, params, frozen_keys)
     cc = cfg.contrastive

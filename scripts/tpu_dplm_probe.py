@@ -29,9 +29,20 @@ def main():
     B = int(os.environ.get("DPLM_B", 256))
     length = int(os.environ.get("DPLM_LEN", 126))  # +cls/eos = 128 (aligned)
     steps = int(os.environ.get("DPLM_STEPS", 100))
+    # DPLM_D/DPLM_NL/DPLM_NH select the trunk geometry. The default is the
+    # 59M serving model; d=1280/33/20 is the ESM-2-650M geometry the north
+    # star names for config 5 ("650M-scale protein encoder").
+    d = int(os.environ.get("DPLM_D", 640))
+    nl = int(os.environ.get("DPLM_NL", 12))
+    nh = int(os.environ.get("DPLM_NH", 10))
+    # DPLM_SCAN=1: lax.scan over stacked layer params — required in practice
+    # at 650M scale (the 33-layer unrolled trunk is >30 min of XLA compile
+    # through the tunnel; the scanned trunk compiles in ~1 min)
+    scan = os.environ.get("DPLM_SCAN", "0") == "1"
     cfg = apply_overrides(Config(), [
-        "dplm.d_model=640", "dplm.num_layers=12", "dplm.num_heads=10",
+        f"dplm.d_model={d}", f"dplm.num_layers={nl}", f"dplm.num_heads={nh}",
         f"dplm.num_diffusion_steps={steps}",
+        f"dplm.scan_layers={'true' if scan else 'false'}",
     ])
     model = DPLM(cfg=cfg.dplm)
     key = jax.random.PRNGKey(0)

@@ -272,3 +272,30 @@ def test_soft_guidance_beats_rerank_at_equal_compute(rng):
     # guided output is still a valid protein
     inner = np.asarray(guided)[:, 1:-1]
     assert ((inner >= RESIDUE_LO) & (inner <= RESIDUE_HI)).all()
+
+
+def test_scan_layers_matches_unrolled(rng):
+    """dplm.scan_layers: one scanned block over stacked params computes the
+    same function as the unrolled trunk (param conversion via
+    stack_dplm_layers); sampling works under the scanned trunk."""
+    from clip_dplm_tpu.models.dplm import stack_dplm_layers
+
+    cfg = DPLMConfig(vocab_size=33, d_model=32, num_layers=3, num_heads=2,
+                     max_len=32, num_diffusion_steps=4)
+    cfg_s = DPLMConfig(**{**cfg.__dict__, "scan_layers": True})
+    m = DPLM(cfg=cfg, dtype=jnp.float32)
+    ms = DPLM(cfg=cfg_s, dtype=jnp.float32)
+    toks, valid = _tokens(rng)
+    p = m.init(jax.random.PRNGKey(0), toks)["params"]
+    ps = stack_dplm_layers(p, cfg.num_layers)
+    init_s = ms.init(jax.random.PRNGKey(0), toks)["params"]
+    assert jax.tree_util.tree_structure(init_s) == \
+        jax.tree_util.tree_structure(ps)
+    a = m.apply({"params": p}, toks, valid)
+    b = ms.apply({"params": ps}, toks, valid)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+    seqs, _ = sample(ms, ps, jax.random.PRNGKey(1), batch_size=2, length=8,
+                     num_steps=3)
+    assert seqs.shape == (2, 10)
+    assert bool(jnp.all(seqs[:, 0] == CLS_IDX))
