@@ -599,3 +599,49 @@ def convert_esm_torch_params(state_dict: Dict[str, Any], cfg: ESMConfig):
             "ffn_out": dense(f"{hf}.output.dense"),
         }
     return params
+
+
+def export_esm_torch_params(params, cfg: ESMConfig) -> Dict[str, Any]:
+    """Inverse of convert_esm_torch_params: ESMTower flax params -> an HF
+    `EsmModel` state_dict (numpy fp32, HF key layout) so towers trained or
+    LoRA-merged here (models/lora.py::merge_lora) publish back to the HF
+    ecosystem. Roundtrip is exact
+    (test_esm::test_export_roundtrips_converter); load with
+    `model.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
+    strict=False)` (strict=False: HF carries rotary inv_freq buffers and a
+    contact head this tower does not own).
+    """
+    import numpy as np
+
+    def arr(x):
+        return np.asarray(x, dtype=np.float32)
+
+    def dense(prefix, leaf):
+        return {f"{prefix}.weight": arr(leaf["kernel"]).T,
+                f"{prefix}.bias": arr(leaf["bias"])}
+
+    def ln(prefix, leaf):
+        return {f"{prefix}.weight": arr(leaf["scale"]),
+                f"{prefix}.bias": arr(leaf["bias"])}
+
+    sd: Dict[str, Any] = {
+        "embeddings.word_embeddings.weight":
+            arr(params["embed_tokens"]["embedding"]),
+    }
+    sd.update(ln("encoder.emb_layer_norm_after", params["final_ln"]))
+    for i in range(cfg.num_layers):
+        blk = params[f"layer_{i}"]
+        if any(k.endswith("_lora") for k in blk):
+            raise ValueError(
+                "param tree still carries LoRA adapters — fold them with "
+                "models/lora.py::merge_lora before exporting")
+        hf = f"encoder.layer.{i}"
+        sd.update(ln(f"{hf}.attention.LayerNorm", blk["ln_attn"]))
+        sd.update(dense(f"{hf}.attention.self.query", blk["q"]))
+        sd.update(dense(f"{hf}.attention.self.key", blk["k"]))
+        sd.update(dense(f"{hf}.attention.self.value", blk["v"]))
+        sd.update(dense(f"{hf}.attention.output.dense", blk["out"]))
+        sd.update(ln(f"{hf}.LayerNorm", blk["ln_ffn"]))
+        sd.update(dense(f"{hf}.intermediate.dense", blk["ffn_in"]))
+        sd.update(dense(f"{hf}.output.dense", blk["ffn_out"]))
+    return sd

@@ -176,3 +176,42 @@ def convert_bert_torch_params(state_dict: Dict[str, Any], cfg: RNABertConfig):
             "ln_ffn": ln(f"{pre}.output.LayerNorm"),
         }
     return params
+
+
+def export_bert_torch_params(params, cfg: RNABertConfig) -> Dict[str, Any]:
+    """Inverse of convert_bert_torch_params: RNABertTower flax params -> an
+    HF `BertModel` state_dict (numpy fp32). Exact roundtrip
+    (test_rnabert::test_export_roundtrips_converter)."""
+
+    def arr(x):
+        return np.asarray(x, dtype=np.float32)
+
+    def dense(name, leaf):
+        return {f"{name}.weight": arr(leaf["kernel"]).T,
+                f"{name}.bias": arr(leaf["bias"])}
+
+    def ln(name, leaf):
+        return {f"{name}.weight": arr(leaf["scale"]),
+                f"{name}.bias": arr(leaf["bias"])}
+
+    sd: Dict[str, Any] = {
+        "embeddings.word_embeddings.weight":
+            arr(params["word_embeddings"]["embedding"]),
+        "embeddings.position_embeddings.weight":
+            arr(params["position_embeddings"]["embedding"]),
+        "embeddings.token_type_embeddings.weight":
+            arr(params["token_type_embeddings"]["embedding"]),
+    }
+    sd.update(ln("embeddings.LayerNorm", params["embed_ln"]))
+    for i in range(cfg.num_layers):
+        blk = params[f"layer_{i}"]
+        pre = f"encoder.layer.{i}"
+        sd.update(dense(f"{pre}.attention.self.query", blk["q"]))
+        sd.update(dense(f"{pre}.attention.self.key", blk["k"]))
+        sd.update(dense(f"{pre}.attention.self.value", blk["v"]))
+        sd.update(dense(f"{pre}.attention.output.dense", blk["attn_out"]))
+        sd.update(ln(f"{pre}.attention.output.LayerNorm", blk["ln_attn"]))
+        sd.update(dense(f"{pre}.intermediate.dense", blk["ffn_in"]))
+        sd.update(dense(f"{pre}.output.dense", blk["ffn_out"]))
+        sd.update(ln(f"{pre}.output.LayerNorm", blk["ln_ffn"]))
+    return sd

@@ -242,3 +242,35 @@ def convert_t5_torch_params(state_dict: Dict[str, Any], cfg: ProtT5Config):
             "wo": dense(f"{pre}.layer.1.DenseReluDense.wo.weight"),
         }
     return params
+
+
+def export_t5_torch_params(params, cfg: ProtT5Config) -> Dict[str, Any]:
+    """Inverse of convert_t5_torch_params: ProtT5Tower flax params -> an HF
+    `T5EncoderModel` state_dict (numpy fp32). Exact roundtrip
+    (test_t5::test_export_roundtrips_converter)."""
+
+    def arr(x):
+        return np.asarray(x, dtype=np.float32)
+
+    sd: Dict[str, Any] = {
+        "shared.weight": arr(params["embed_tokens"]["embedding"]),
+        "encoder.embed_tokens.weight":
+            arr(params["embed_tokens"]["embedding"]),
+        "encoder.block.0.layer.0.SelfAttention"
+        ".relative_attention_bias.weight":
+            arr(params["relative_attention_bias"]),
+        "encoder.final_layer_norm.weight": arr(params["final_ln"]["weight"]),
+    }
+    for i in range(cfg.num_layers):
+        blk = params[f"layer_{i}"]
+        pre = f"encoder.block.{i}"
+        sd[f"{pre}.layer.0.layer_norm.weight"] = arr(blk["ln_attn"]["weight"])
+        for name in ("q", "k", "v", "o"):
+            sd[f"{pre}.layer.0.SelfAttention.{name}.weight"] = \
+                arr(blk["attn"][name]["kernel"]).T
+        sd[f"{pre}.layer.1.layer_norm.weight"] = arr(blk["ln_ffn"]["weight"])
+        sd[f"{pre}.layer.1.DenseReluDense.wi.weight"] = \
+            arr(blk["wi"]["kernel"]).T
+        sd[f"{pre}.layer.1.DenseReluDense.wo.weight"] = \
+            arr(blk["wo"]["kernel"]).T
+    return sd

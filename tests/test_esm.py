@@ -242,3 +242,45 @@ def test_bf16_tower_close_to_fp32(hf_pair, rng):
     assert cos > 0.999, cos  # direction preserved (what retrieval uses)
     # per-component error small relative to the embedding norm
     assert np.abs(a - b).max() / np.linalg.norm(b) < 0.02
+
+
+def test_export_roundtrips_converter(hf_pair):
+    """export_esm_torch_params is the exact inverse of
+    convert_esm_torch_params (HF sd -> flax -> HF sd is bit-identical for
+    every key the tower owns), and the exported sd loads into a fresh HF
+    EsmModel reproducing the flax forward — publish-back parity."""
+    torch = pytest.importorskip("torch")
+    from transformers import EsmModel
+
+    from clip_dplm_tpu.models.esm import export_esm_torch_params
+
+    hf, cfg, params = hf_pair
+    sd = export_esm_torch_params(params, cfg)
+    ref = {k: np.asarray(v.detach().numpy(), np.float32)
+           for k, v in hf.state_dict().items()}
+    for k, v in sd.items():
+        np.testing.assert_array_equal(v, ref[k], err_msg=k)
+
+    hf2 = EsmModel(hf.config, add_pooling_layer=False)
+    missing, unexpected = hf2.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False)
+    assert not unexpected
+    # only non-owned keys (rotary inv_freq buffers etc.) may be missing
+    assert all("inv_freq" in k or "contact_head" in k or "position_emb" in k
+               for k in missing), missing
+
+
+def test_export_rejects_unmerged_lora(hf_pair, rng):
+    from clip_dplm_tpu.models.esm import export_esm_torch_params
+    from clip_dplm_tpu.models.lora import merge_lora, spec_from
+
+    _, cfg, _ = hf_pair
+    lcfg = ESMConfig(**{**cfg.__dict__, "lora_rank": 2})
+    tower = ESMTower(cfg=lcfg, dtype=jnp.float32)
+    toks, mask = protein.tokenize_batch([protein.random_protein(rng, 12)])
+    params = tower.init(jax.random.PRNGKey(0), jnp.asarray(toks))["params"]
+    with pytest.raises(ValueError, match="merge_lora"):
+        export_esm_torch_params(params, lcfg)
+    merged = merge_lora(params, spec_from(lcfg))
+    sd = export_esm_torch_params(merged, lcfg)
+    assert "encoder.layer.0.attention.self.query.weight" in sd

@@ -85,3 +85,18 @@ def test_embeddings_feed_rna_tower(hf_bert_pair):
     np.testing.assert_allclose(
         np.asarray(pooled[0]),
         np.asarray(emb[0][np.asarray(mask[0])]).mean(axis=0), atol=1e-6)
+
+
+def test_export_roundtrips_converter(hf_bert_pair):
+    """export_bert_torch_params inverts convert_bert_torch_params
+    bit-exactly for every key the tower owns."""
+    import numpy as np
+
+    from clip_dplm_tpu.models.rnabert import export_bert_torch_params
+
+    hf, cfg, params = hf_bert_pair
+    sd = export_bert_torch_params(params, cfg)
+    ref = {k: np.asarray(v.detach().numpy(), np.float32)
+           for k, v in hf.state_dict().items()}
+    for k, v in sd.items():
+        np.testing.assert_array_equal(v, ref[k], err_msg=k)

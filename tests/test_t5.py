@@ -111,3 +111,18 @@ def test_mean_residue_pooling(hf_t5_pair, rng):
     # mean over the 9 residues, excluding </s> and padding
     np.testing.assert_allclose(pooled[0], tok_emb[0, :9].mean(axis=0),
                                atol=1e-6)
+
+
+def test_export_roundtrips_converter(hf_t5_pair):
+    """export_t5_torch_params inverts convert_t5_torch_params bit-exactly
+    for every key the tower owns."""
+    import numpy as np
+
+    from clip_dplm_tpu.models.t5 import export_t5_torch_params
+
+    hf, cfg, params = hf_t5_pair
+    sd = export_t5_torch_params(params, cfg)
+    ref = {k: np.asarray(v.detach().numpy(), np.float32)
+           for k, v in hf.state_dict().items()}
+    for k, v in sd.items():
+        np.testing.assert_array_equal(v, ref[k], err_msg=k)
