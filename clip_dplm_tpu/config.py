@@ -133,6 +133,10 @@ class ESMConfig:
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: Tuple[str, ...] = ("q", "v")
+    # lax.scan over the block stack (stacked params, one compiled block) —
+    # the compile-time answer for 650M+ trunks; see DPLMConfig.scan_layers.
+    # models/esm.py::stack_esm_layers converts converted/unrolled trees.
+    scan_layers: bool = False
 
 
 @dataclass(frozen=True)

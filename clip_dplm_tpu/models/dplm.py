@@ -41,29 +41,10 @@ EOS_IDX = 2
 RESIDUE_LO, RESIDUE_HI = 4, 23
 
 
-class _CarryBlock(nn.Module):
-    """nn.scan adapter: wraps an EsmBlock class as (carry, *broadcast) ->
-    (carry, None) so the trunk can run as one compiled block scanned over
-    stacked per-layer params."""
+from clip_dplm_tpu.models.esm import _CarryBlock, stack_esm_layers
 
-    block: Any
-    kw: Tuple  # sorted (key, value) items — hashable module attribute
-
-    @nn.compact
-    def __call__(self, h, mask, positions):
-        h = self.block(**dict(self.kw), name="block")(h, mask, positions)
-        return h, None
-
-
-def stack_dplm_layers(params, num_layers: int):
-    """Convert an unrolled DPLM param tree (layer_<i>/...) to the
-    scan_layers layout (layers/block/... stacked on axis 0) — e.g. to run a
-    warm-started or previously-trained trunk under scan_layers=true."""
-    layers = [params[f"layer_{i}"] for i in range(num_layers)]
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
-    rest = {k: v for k, v in params.items() if not k.startswith("layer_")}
-    rest["layers"] = {"block": stacked}
-    return rest
+# shared with ESMTower.scan_layers — same (layers/block, axis-0) layout
+stack_dplm_layers = stack_esm_layers
 
 
 class DPLM(nn.Module):

@@ -261,6 +261,31 @@ class EsmBlock(nn.Module):
         return x + h
 
 
+class _CarryBlock(nn.Module):
+    """nn.scan adapter: wraps an EsmBlock class as (carry, *broadcast) ->
+    (carry, None) so a deep trunk runs as ONE compiled block scanned over
+    stacked per-layer params (ESMConfig/DPLMConfig scan_layers)."""
+
+    block: Any
+    kw: tuple  # sorted (key, value) items — hashable module attribute
+
+    @nn.compact
+    def __call__(self, h, mask, positions):
+        h = self.block(**dict(self.kw), name="block")(h, mask, positions)
+        return h, None
+
+
+def stack_esm_layers(params, num_layers: int):
+    """Convert an unrolled tower param tree (layer_<i>/...) — e.g. from
+    convert_esm_torch_params — to the scan_layers layout (layers/block/...
+    stacked on axis 0)."""
+    layers = [params[f"layer_{i}"] for i in range(num_layers)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    rest = {k: v for k, v in params.items() if not k.startswith("layer_")}
+    rest["layers"] = {"block": stacked}
+    return rest
+
+
 class ESMTower(nn.Module):
     """ESM-2 encoder over token ids (B, S) with (B, S) validity mask.
 
@@ -292,17 +317,31 @@ class ESMTower(nn.Module):
         if self.remat:
             block = nn.remat(EsmBlock, static_argnums=())
         from clip_dplm_tpu.models.lora import spec_from
-        self.blocks = [
-            block(
-                d_model=c.d_model, num_heads=c.num_heads,
-                ln_eps=c.layer_norm_eps,
-                dtype=self.dtype, param_dtype=self.param_dtype,
-                seq_axis=self.seq_axis,
-                lora=spec_from(c),
-                name=f"layer_{i}",
-            )
-            for i in range(c.num_layers)
-        ]
+        blk_kw = dict(
+            d_model=c.d_model, num_heads=c.num_heads,
+            ln_eps=c.layer_norm_eps,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            seq_axis=self.seq_axis,
+            lora=spec_from(c),
+        )
+        if getattr(c, "scan_layers", False):
+            # one compiled block scanned over stacked params — the
+            # compile-time answer for 650M+ trunks (33 unrolled layers are
+            # >30 min of XLA; the scan compiles in ~1 min). Incompatible
+            # with PipelinedESMTower (which restacks layer_<i> scopes).
+            self.blocks = ()
+            self.scanned = nn.scan(
+                _CarryBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=c.num_layers,
+            )(block=block, kw=tuple(sorted(blk_kw.items())), name="layers")
+        else:
+            self.blocks = [
+                block(**blk_kw, name=f"layer_{i}")
+                for i in range(c.num_layers)
+            ]
         self.final_ln = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=jnp.float32,
             param_dtype=self.param_dtype, name="final_ln")
@@ -388,8 +427,11 @@ class ESMTower(nn.Module):
         equals the hard path when probs is one-hot(tokens). `tokens` still
         supplies special-token positions for masking/pooling."""
         h, mask, positions = self.embed(tokens, mask, token_probs)
-        for block in self.blocks:
-            h = block(h, mask, positions)
+        if getattr(self.cfg, "scan_layers", False):
+            h, _ = self.scanned(h, mask, positions)
+        else:
+            for block in self.blocks:
+                h = block(h, mask, positions)
         return self.head(h, tokens, mask, pooling)
 
 

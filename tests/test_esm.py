@@ -284,3 +284,27 @@ def test_export_rejects_unmerged_lora(hf_pair, rng):
     merged = merge_lora(params, spec_from(lcfg))
     sd = export_esm_torch_params(merged, lcfg)
     assert "encoder.layer.0.attention.self.query.weight" in sd
+
+
+def test_esm_scan_layers_matches_unrolled(rng):
+    """esm.scan_layers: the scanned trunk computes the unrolled tower's
+    function on stacked params (stack_esm_layers conversion)."""
+    from clip_dplm_tpu.models.esm import stack_esm_layers
+
+    cfg = ESMConfig(name="tiny", vocab_size=33, d_model=64, num_layers=3,
+                    num_heads=4, max_len=64)
+    cfg_s = ESMConfig(**{**cfg.__dict__, "scan_layers": True})
+    tower = ESMTower(cfg=cfg, dtype=jnp.float32)
+    tower_s = ESMTower(cfg=cfg_s, dtype=jnp.float32)
+    seqs = [protein.random_protein(rng, 20), protein.random_protein(rng, 13)]
+    toks, mask = protein.tokenize_batch(seqs, pad_multiple=8)
+    toks, mask = jnp.asarray(toks), jnp.asarray(mask)
+    p = tower.init(jax.random.PRNGKey(0), toks)["params"]
+    ps = stack_esm_layers(p, cfg.num_layers)
+    init_s = tower_s.init(jax.random.PRNGKey(0), toks)["params"]
+    assert jax.tree_util.tree_structure(init_s) == \
+        jax.tree_util.tree_structure(ps)
+    a = tower.apply({"params": p}, toks, mask, pooling="mean_residues")
+    b = tower_s.apply({"params": ps}, toks, mask, pooling="mean_residues")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
