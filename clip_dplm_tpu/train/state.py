@@ -257,7 +257,8 @@ def create_train_state(
             # final_ln + lm_head train, the trunk base is frozen
             frozen_keys = tuple(
                 k for k in params
-                if k.startswith("layer_") or k == "embed_tokens"
+                if k.startswith("layer_") or k == "layers"  # scan_layers
+                or k == "embed_tokens"
             )
         if frozen_keys:
             tx = freeze_subtrees(tx, params, frozen_keys)

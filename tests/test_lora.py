@@ -242,3 +242,35 @@ def _zip_leaves(a, b, path=()):
             yield from _zip_leaves(a[k], b[k], path + (k,))
     else:
         yield path, (a, b)
+
+
+def test_dplm_lora_with_scan_layers(rng):
+    """LoRA composes with the scanned trunk: adapters stack under
+    layers/block and stay trainable while the stacked base freezes."""
+    from clip_dplm_tpu.models.dplm import DPLM
+    from clip_dplm_tpu.train import create_train_state
+
+    cfg = apply_overrides(Config(), [
+        "experiment=dplm",
+        "dplm.d_model=64", "dplm.num_layers=2", "dplm.num_heads=4",
+        "dplm.lora_rank=2", "dplm.scan_layers=true",
+        "train.optim.fused_update=true",
+        "train.optim.warmup_steps=0",
+    ])
+    model = DPLM(cfg=cfg.dplm, dtype=jnp.float32)
+    toks = _tokens(rng, B=2, S=10)
+    batch = {"tokens": toks, "mask": toks != 1}
+    state = create_train_state(model, cfg, batch)
+    blk = state.params["layers"]["block"]
+    assert blk["q_lora"]["a"].shape[0] == 2  # stacked over layers
+
+    def loss_fn(p):
+        logits = model.apply({"params": p}, batch["tokens"], batch["mask"])
+        return jnp.mean(logits ** 2)
+
+    grads = jax.grad(loss_fn)(state.params)
+    new_state = state.apply_gradients(grads)
+    old_blk = state.params["layers"]["block"]
+    new_blk = new_state.params["layers"]["block"]
+    assert bool(jnp.all(old_blk["q"]["kernel"] == new_blk["q"]["kernel"]))
+    assert bool(jnp.any(old_blk["q_lora"]["b"] != new_blk["q_lora"]["b"]))
