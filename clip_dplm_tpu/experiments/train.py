@@ -29,6 +29,10 @@ def main(argv=None) -> dict:
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--platform", default=None,
                         help="force jax platform (cpu for local runs)")
+    parser.add_argument(
+        "--save-adapters", default=None, metavar="PATH",
+        help="after training, save only the LoRA adapter leaves to an .npz "
+             "(models/lora.py; requires esm.lora_rank/dplm.lora_rank > 0)")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -83,6 +87,12 @@ def main(argv=None) -> dict:
         history["train_loss"][-1],
         history["val_loss"][-1] if history["val_loss"] else float("nan"),
     )
+    if args.save_adapters:
+        from clip_dplm_tpu.models.lora import save_adapters_npz
+
+        n = save_adapters_npz(args.save_adapters, trainer.state.params)
+        log.logger.info("saved %d adapter leaves to %s", n,
+                        args.save_adapters)
     log.close()
     return history
 

@@ -165,6 +165,36 @@ def merge_adapters(base, adapters):
     return rec(base, adapters)
 
 
+def save_adapters_npz(path: str, params) -> int:
+    """Save ONLY the adapter leaves to an .npz (keys are /-joined paths) —
+    the small artifact to ship instead of a full checkpoint. Returns the
+    number of leaves saved."""
+    import numpy as np
+
+    _, ada = split_lora(params)
+    flat = {"/".join(p): np.asarray(v) for p, v in _walk(ada)}
+    if not flat:
+        raise ValueError("no *_lora adapters in this param tree")
+    np.savez(path, **flat)
+    return len(flat)
+
+
+def load_adapters_npz(path: str):
+    """Inverse of save_adapters_npz: .npz -> nested adapter tree, ready for
+    merge_adapters(base_params, adapters)."""
+    import numpy as np
+
+    with np.load(path) as flat:
+        tree: dict = {}
+        for k in flat.files:
+            node = tree
+            parts = k.split("/")
+            for s in parts[:-1]:
+                node = node.setdefault(s, {})
+            node[parts[-1]] = jnp.asarray(flat[k])
+    return tree
+
+
 def merge_lora(params, spec: LoRASpec):
     """Fold every adapter into its sibling base kernel:
     ``kernel += scale * a @ b``, dropping the `*_lora` nodes. The result is

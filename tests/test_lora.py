@@ -274,3 +274,27 @@ def test_dplm_lora_with_scan_layers(rng):
     new_blk = new_state.params["layers"]["block"]
     assert bool(jnp.all(old_blk["q"]["kernel"] == new_blk["q"]["kernel"]))
     assert bool(jnp.any(old_blk["q_lora"]["b"] != new_blk["q_lora"]["b"]))
+
+
+def test_adapter_npz_roundtrip(tmp_path, rng):
+    from clip_dplm_tpu.models.lora import (
+        load_adapters_npz,
+        save_adapters_npz,
+    )
+
+    toks = _tokens(rng)
+    tower = ESMTower(cfg=_tower_cfg(lora_rank=2), dtype=jnp.float32)
+    params = tower.init(jax.random.PRNGKey(6), toks)["params"]
+    path = str(tmp_path / "adapters.npz")
+    n = save_adapters_npz(path, params)
+    assert n == 2 * 2 * 2  # 2 layers x (q, v) x (a, b)
+    ada = load_adapters_npz(path)
+    base, ref = split_lora(params)
+    got = dict(_leaf_paths(ada))
+    for p, v in _leaf_paths(ref):
+        np.testing.assert_array_equal(np.asarray(got[p]), np.asarray(v))
+    # grafts back onto a base tree
+    back = merge_adapters(base, ada)
+    assert has_lora_params(back)
+    with pytest.raises(ValueError):
+        save_adapters_npz(str(tmp_path / "x.npz"), base)
