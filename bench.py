@@ -17,6 +17,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache, shared across bench runs.
+
+    The axon tunnel's compiler is sometimes very slow (measured: 156 s to
+    compile a trivial program during a degraded window, vs 0.6 s on a warm
+    cache hit) — a cold compile can push the whole bench past the driver's
+    `timeout 570`. The cache dir is repo-local and gitignored; it works on
+    the axon platform (verified by hit/miss timing probes).
+    """
+    import os
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_tpu_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # older jax or read-only fs: run without the cache
+
+
+_enable_compile_cache()
+
+
 # chip peak bf16 matmul FLOP/s (dense): v5e ~197 TFLOPs, v5p ~459, v4 ~275.
 _PEAK_FLOPS = {
     "v5 lite": 197e12,
