@@ -318,6 +318,9 @@ class TrainConfig:
     log_every_steps: int = 10
     checkpoint_every_steps: int = 1000
     keep_checkpoints: int = 3
+    # overlap checkpoint serialization/IO with training (Orbax background
+    # threads); the trainer barriers before reads and at the end of training
+    async_checkpoint: bool = True
     early_stopping_patience: int = 10
     seed: int = 42
     # scan this many train steps per jit call (the host stacks that many

@@ -14,7 +14,7 @@ Axes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
@@ -47,6 +47,44 @@ class MeshContext:
         return P()
 
 
+def order_devices_for_mesh(
+    devices: Sequence[Any], model_parallel: int
+) -> list:
+    """Order devices so the (data, model) reshape keeps TP traffic on ICI.
+
+    Multi-slice TPU pods expose `device.slice_index`; devices within a slice
+    share ICI while cross-slice traffic rides DCN (orders of magnitude less
+    bandwidth). The mesh is built by reshaping a flat device list to
+    (data, model), so the model (tensor-parallel) axis holds CONSECUTIVE
+    devices — this helper sorts devices so each slice's devices are
+    contiguous, guaranteeing every TP group lives inside one slice whenever
+    model_parallel divides the per-slice device count. Data-parallel gradient
+    psums then span DCN, which is the standard multi-slice recipe (DCN
+    carries only one all-reduce per step; TP collectives per layer stay on
+    ICI). Single-slice (or CPU) device lists come back unchanged up to a
+    stable sort.
+
+    Raises if slices are uneven or model_parallel straddles a slice boundary
+    — a silently DCN-crossing TP group is a performance bug, not a fallback.
+    """
+    devices = list(devices)
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(getattr(d, "slice_index", 0) or 0, []).append(d)
+    if len(groups) > 1:
+        sizes = {len(g) for g in groups.values()}
+        if len(sizes) != 1:
+            raise ValueError(f"uneven slice sizes {sorted(sizes)}")
+        per_slice = sizes.pop()
+        if model_parallel > 1 and per_slice % model_parallel != 0:
+            raise ValueError(
+                f"model_parallel={model_parallel} does not divide the "
+                f"per-slice device count {per_slice}; a TP group would "
+                "straddle slices and ride DCN"
+            )
+    return [d for _, g in sorted(groups.items()) for d in g]
+
+
 def create_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     model_parallel: int = 1,
@@ -56,12 +94,15 @@ def create_mesh(
     """Create a 2D (data, model) mesh over all (or given) devices.
 
     model_parallel=1 gives pure data parallelism; larger values carve a tensor
-    parallel sub-axis (reserved for the 650M-scale protein tower).
+    parallel sub-axis (reserved for the 650M-scale protein tower). On
+    multi-slice pods the device order is fixed up so TP groups never straddle
+    a slice boundary (see order_devices_for_mesh).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n % model_parallel != 0:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    devices = order_devices_for_mesh(devices, model_parallel)
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     mesh = Mesh(arr, (data_axis, model_axis))
     return MeshContext(mesh=mesh, data_axis=data_axis, model_axis=model_axis)

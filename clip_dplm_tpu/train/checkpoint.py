@@ -14,21 +14,39 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep: int = 3):
+    def __init__(self, directory: str, keep: int = 3, async_save: bool = False):
+        """async_save=True lets `save()` return as soon as the state arrays
+        are snapshotted, with the serialization + disk write proceeding on
+        Orbax's background threads while training continues on-device — the
+        production overlap the reference's blocking torch.save lacks. Reads
+        (latest_step/restore) and the next save barrier on the in-flight
+        write, so no caller ever observes a half-written step."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self.async_save = async_save
         options = ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, state: Any, step: int) -> None:
         # tx/apply_fn are static (non-pytree) fields; Orbax stores arrays only.
         self._mgr.save(step, args=ocp.args.StandardSave(_arrays_only(state)))
+        if not self.async_save:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save is durable on disk."""
         self._mgr.wait_until_finished()
 
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state: Any, step: Optional[int] = None) -> Any:
+        self._mgr.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")

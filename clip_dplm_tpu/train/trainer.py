@@ -538,7 +538,8 @@ class Trainer:
             from clip_dplm_tpu.train.checkpoint import CheckpointManager
 
             self._ckpt = CheckpointManager(
-                checkpoint_dir, keep=cfg.train.keep_checkpoints
+                checkpoint_dir, keep=cfg.train.keep_checkpoints,
+                async_save=cfg.train.async_checkpoint,
             )
         self._profiler = None
         if cfg.logging.profile:
@@ -633,4 +634,6 @@ class Trainer:
                 self._ckpt.save(self.state, int(jax.device_get(self.state.step)))
             if stopper.should_stop:
                 break
+        if self._ckpt:
+            self._ckpt.wait()  # async saves must be durable before returning
         return self.history

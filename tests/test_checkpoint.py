@@ -42,3 +42,46 @@ def test_save_restore_roundtrip(tmp_path):
     s1, m1 = step(state, batch)
     s2, m2 = step(restored, batch)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_async_save_restore(tmp_path):
+    """async_save returns before the write is durable; wait()/restore barrier.
+
+    Uses a tiny raw pytree via the same manager the Trainer uses (production
+    overlap feature: Orbax background write threads)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    @dataclasses.dataclass
+    class FakeState:
+        params: dict
+        opt_state: tuple
+        rng: object
+        step: object
+        cache: None = None
+        cache_ptr: None = None
+        cache_len: None = None
+
+        def replace(self, **kw):
+            return dataclasses.replace(self, **kw)
+
+    state = FakeState(
+        params={"w": jnp.arange(8.0)},
+        opt_state=(),
+        rng=jnp.zeros((4,), jnp.uint32),
+        step=jnp.asarray(7, jnp.int32),
+    )
+    mgr = CheckpointManager(str(tmp_path / "ackpt"), keep=2, async_save=True)
+    mgr.save(state, 7)
+    mgr.wait()
+    fresh = state.replace(params={"w": jnp.zeros(8)}, step=jnp.asarray(0, jnp.int32))
+    assert mgr.latest_step() == 7
+    restored = mgr.restore(fresh)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(8.0))
+    assert int(restored.step) == 7
+    # a second async save followed directly by restore must see step 9
+    mgr.save(state.replace(step=jnp.asarray(9, jnp.int32)), 9)
+    restored = mgr.restore(fresh)
+    assert int(restored.step) == 9
+    mgr.close()

@@ -131,3 +131,49 @@ def test_tp_sharded_esm_inference(rng):
     out = fn(sharded_vars, *map(lambda x: jax.device_put(
         x, ctx.sharding(P("data"))), (toks, mask)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+class _FakeDev:
+    """Stand-in with the only attribute order_devices_for_mesh reads."""
+
+    def __init__(self, i, slice_index):
+        self.id = i
+        self.slice_index = slice_index
+
+    def __repr__(self):
+        return f"d{self.id}@s{self.slice_index}"
+
+
+def test_order_devices_keeps_tp_groups_on_one_slice():
+    from clip_dplm_tpu.parallel.mesh import order_devices_for_mesh
+
+    # interleaved arrival order across 2 slices of 4 devices each
+    devs = [_FakeDev(i, slice_index=i % 2) for i in range(8)]
+    ordered = order_devices_for_mesh(devs, model_parallel=4)
+    # every consecutive group of 4 (a TP group after the (data, model)
+    # reshape) must live inside one slice
+    for g in range(2):
+        group = ordered[4 * g : 4 * (g + 1)]
+        assert len({d.slice_index for d in group}) == 1
+    # stable within a slice
+    assert [d.id for d in ordered] == [0, 2, 4, 6, 1, 3, 5, 7]
+
+
+def test_order_devices_rejects_straddling_tp_group():
+    import pytest as _pytest
+
+    from clip_dplm_tpu.parallel.mesh import order_devices_for_mesh
+
+    devs = [_FakeDev(i, slice_index=i // 2) for i in range(8)]  # 4 slices of 2
+    with _pytest.raises(ValueError, match="straddle"):
+        order_devices_for_mesh(devs, model_parallel=4)
+    with _pytest.raises(ValueError, match="uneven"):
+        order_devices_for_mesh(devs[:7], model_parallel=1)
+
+
+def test_order_devices_single_slice_identity():
+    from clip_dplm_tpu.parallel.mesh import order_devices_for_mesh
+
+    # CPU/test devices have no slice_index -> order unchanged, no error
+    devs = list(jax.devices())
+    assert order_devices_for_mesh(devs, model_parallel=2) == devs
