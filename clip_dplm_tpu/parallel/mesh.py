@@ -117,19 +117,38 @@ def replicated_sharding(ctx: MeshContext) -> NamedSharding:
     return ctx.sharding(P())
 
 
-def shard_batch(ctx: MeshContext, batch):
-    """Device-put a host batch with the leading dim sharded over `data`.
+def shard_batch(ctx: MeshContext, batch, process_local: Optional[bool] = None):
+    """Put a host batch on the mesh with the leading dim sharded over `data`.
 
     Leaves whose leading dim does not divide the data axis (e.g. the (2, E)
     edge_index of graph batches) are replicated instead — XLA re-partitions
-    downstream as needed."""
+    downstream as needed.
+
+    Single-process (the default on one host): `batch` is the GLOBAL batch and
+    a plain device_put scatters it. Multi-process (pods, one process per
+    host): each process's dataloader yields only its PER-PROCESS shard of the
+    global batch — `jax.make_array_from_process_local_data` assembles the
+    logically-global array from those local shards without any cross-host
+    copy of the full batch. `process_local` forces the branch (for tests);
+    by default it follows `jax.process_count() > 1`. Replicated leaves must
+    hold identical data on every process either way.
+    """
     sh = batch_sharding(ctx)
     repl = replicated_sharding(ctx)
     n = ctx.data_size
+    if process_local is None:
+        process_local = jax.process_count() > 1
 
     def put(x):
         divisible = hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0
-        return jax.device_put(x, sh if divisible else repl)
+        if not process_local:
+            return jax.device_put(x, sh if divisible else repl)
+        x = np.asarray(x)
+        if not divisible:
+            return jax.make_array_from_process_local_data(repl, x, x.shape)
+        # local rows * process_count = global rows for the data-sharded dim
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -177,3 +177,23 @@ def test_order_devices_single_slice_identity():
     # CPU/test devices have no slice_index -> order unchanged, no error
     devs = list(jax.devices())
     assert order_devices_for_mesh(devs, model_parallel=2) == devs
+
+
+def test_shard_batch_process_local_matches_device_put():
+    """Single-process degenerate case: the multi-host assembly path
+    (make_array_from_process_local_data) must produce the same global arrays
+    and shardings as the device_put path."""
+    import numpy as np
+
+    from clip_dplm_tpu.parallel import create_mesh, shard_batch
+
+    ctx = create_mesh(model_parallel=2)
+    batch = {
+        "x": np.arange(16 * 3, dtype=np.float32).reshape(16, 3),
+        "edge_index": np.arange(2 * 5).reshape(2, 5),  # 2 % data_size != 0
+    }
+    a = shard_batch(ctx, batch, process_local=False)
+    b = shard_batch(ctx, batch, process_local=True)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        assert a[k].sharding == b[k].sharding, k
