@@ -590,9 +590,30 @@ def _sym_grad_merged_kernel(raw_ref, y_ref, x_ref, scale_ref, colmask_ref,
         dy_ref[:] = acc_b_new.astype(dy_ref.dtype)
 
 
-# grid-persistent dB accumulator cap: merged-backward engages only while the
-# (np_, d) f32 scratch + the resident y operand stay comfortably inside VMEM
-MERGED_ACC_BYTES_LIMIT = 36 * 1024 * 1024
+# The TPU compiler's scoped-VMEM budget is 40 MB on this generation: the
+# merged backward engages only when its FULL working set — grid-persistent
+# (np_, d) dB accumulator, resident y operand, dA/rowdot scratch and the
+# double-buffered raw/x/dx/dy block tiles — fits with margin. Accounting
+# only for accumulator + resident operand let B=10240 at d=512 through
+# (31.5 MB) while the real allocation was 40.7 MB and the compile failed
+# outright; the two-pass backward handles everything above the cap.
+MERGED_VMEM_CAP = 38 * 1024 * 1024
+
+
+def _merged_vmem_need(np_: int, d: int, bp, block_m: int, block_n: int) -> int:
+    """Byte estimate of `_sym_grad_merged_kernel`'s scoped-VMEM working set."""
+    esize = bp.dtype.itemsize
+    return (
+        np_ * d * 4                    # grid-persistent dB accumulator
+        + _resident_bytes(bp)          # whole resident y operand
+        + block_m * d * 4              # dA accumulator scratch
+        + block_m * 128 * 4            # rowdot scratch
+        + 2 * block_m * block_n * 2    # int16 raw tiles (double-buffered)
+        + 2 * block_m * d * esize      # x tiles
+        + 2 * block_m * d * 4          # dx output tiles
+        + 2 * block_n * d * 4          # dy output tiles
+        + 2 * block_m * 128 * 4        # rowdot output tiles (lane-padded)
+    )
 
 
 def _sym_grad_merged(raw_q, ap, bp, scale2d, colmask, rowmask, lse_row_p,
@@ -605,6 +626,10 @@ def _sym_grad_merged(raw_q, ap, bp, scale2d, colmask, rowmask, lse_row_p,
     nm, nn = mp // block_m, np_ // block_n
 
     dy_index = lambda i, j: (jnp.where(i == nm - 1, j, 0), 0)
+    # Mosaic's actual stack need runs below `_merged_vmem_need` (outputs and
+    # grid-invariant operands are not all double-buffered); this tighter
+    # limit is proven at the engaged shapes and raising it to the full
+    # estimate measured ~0.25% slower at B=8192 (scheduler headroom).
     vmem_need = (np_ * d * 4 + _resident_bytes(bp) + 2 * block_m * d * 4
                  + 8 * 1024 * 1024)
     acc_a, rowdot, acc_b = pl.pallas_call(
@@ -637,7 +662,7 @@ def _sym_grad_merged(raw_q, ap, bp, scale2d, colmask, rowmask, lse_row_p,
             pltpu.VMEM((np_, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(vmem_need, 110 * 1024 * 1024)),
+            vmem_limit_bytes=min(vmem_need, 40 * 1024 * 1024)),
     )(raw_q, bp, ap, scale2d, colmask, rowmask, lse_row_p, lse_col_p)
     return acc_a, rowdot, acc_b
 
@@ -678,7 +703,8 @@ def _sym_grad_passes_from_raw(raw_q, a, b, scale, lse_row, lse_col,
 
     mode = _merged_bwd_mode()
     merged_ok = (res_b
-                 and np_ * d * 4 + _resident_bytes(bp) <= MERGED_ACC_BYTES_LIMIT)
+                 and _merged_vmem_need(np_, d, bp, block_m, block_n)
+                 <= MERGED_VMEM_CAP)
     if mode == "1" or (mode == "auto" and merged_ok):
         acc_a, rowdot, acc_b = _sym_grad_merged(
             raw_q, ap, bp, scale2d, colmask, rowmask, lse_row_p, lse_col_p,

@@ -430,3 +430,21 @@ def test_merged_backward_multitile_matches_twopass(rng, monkeypatch, shape):
             np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4,
             err_msg=f"{name} merged multi-tile mismatch",
         )
+
+
+def test_merged_backward_vmem_gate():
+    """The merged single-pass backward must only engage when its FULL
+    scoped-VMEM working set (dB accumulator + resident operand + the
+    double-buffered block tiles) fits the compiler's 40 MB budget. B=10240
+    at d=512 passed the old accumulator-only accounting (31.5 MB) but
+    compiled to a 40.7 MB stack allocation and failed outright; B=8192
+    (the bench operating point) must keep engaging."""
+    from clip_dplm_tpu.ops.fused_infonce import (
+        BLOCK_M, BLOCK_N, MERGED_VMEM_CAP, _merged_vmem_need)
+
+    d = 512
+    ok = jnp.zeros((8192, d), jnp.bfloat16)
+    too_big = jnp.zeros((10240, d), jnp.bfloat16)
+    assert _merged_vmem_need(8192, d, ok, BLOCK_M, BLOCK_N) <= MERGED_VMEM_CAP
+    assert (_merged_vmem_need(10240, d, too_big, BLOCK_M, BLOCK_N)
+            > MERGED_VMEM_CAP)
