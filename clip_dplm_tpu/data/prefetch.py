@@ -28,11 +28,13 @@ class DevicePrefetcher:
         sharding=None,
         depth: int = 2,
         transform: Optional[Callable] = None,
+        put: Optional[Callable] = None,
     ):
         self._queue: queue.Queue = queue.Queue(maxsize=depth)
         self._error: Optional[BaseException] = None
         self._sharding = sharding
         self._transform = transform
+        self._put = put
         self._thread = threading.Thread(
             target=self._worker, args=(iter(batches),), daemon=True
         )
@@ -41,6 +43,8 @@ class DevicePrefetcher:
     def _put_device(self, batch):
         if self._transform is not None:
             batch = self._transform(batch)
+        if self._put is not None:  # whole-batch placement (parallel.shard_batch)
+            return self._put(batch)
         if callable(self._sharding):  # per-leaf sharding rule
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, self._sharding(x)), batch

@@ -204,6 +204,10 @@ def sample(
         if lengths.shape != (batch_size,):
             raise ValueError(f"lengths must be shape ({batch_size},), "
                              f"got {lengths.shape}")
+        # clamp to the padded maximum: lengths[i] > length would place the
+        # <eos> beyond the last position and the row would come back with
+        # residues where the eos/pad region should be
+        lengths = jnp.clip(lengths, 1, length)
     eos_pos = (lengths + 1)[:, None]
     gen_region = (pos >= 1) & (pos < eos_pos)
     valid = pos <= eos_pos

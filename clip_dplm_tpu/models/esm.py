@@ -279,10 +279,22 @@ def stack_esm_layers(params, num_layers: int):
     """Convert an unrolled tower param tree (layer_<i>/...) — e.g. from
     convert_esm_torch_params — to the scan_layers layout (layers/block/...
     stacked on axis 0)."""
-    layers = [params[f"layer_{i}"] for i in range(num_layers)]
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    from clip_dplm_tpu.parallel.pipeline import stack_layer_params
+
+    stacked = stack_layer_params(params, num_layers)
     rest = {k: v for k, v in params.items() if not k.startswith("layer_")}
     rest["layers"] = {"block": stacked}
+    return rest
+
+
+def unstack_esm_layers(params, num_layers: int):
+    """Inverse of `stack_esm_layers`: scan_layers layout (layers/block/...
+    with an (L, ...) leading axis) back to the unrolled layer_<i>/... tree
+    — the layout the HF exporters and the unrolled tower consume."""
+    stacked = params["layers"]["block"]
+    rest = {k: v for k, v in params.items() if k != "layers"}
+    for i in range(num_layers):
+        rest[f"layer_{i}"] = jax.tree_util.tree_map(lambda x: x[i], stacked)
     return rest
 
 
@@ -651,9 +663,13 @@ def export_esm_torch_params(params, cfg: ESMConfig) -> Dict[str, Any]:
     (test_esm::test_export_roundtrips_converter); load with
     `model.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
     strict=False)` (strict=False: HF carries rotary inv_freq buffers and a
-    contact head this tower does not own).
+    contact head this tower does not own). scan_layers trees (stacked
+    layers/block layout) are unstacked transparently.
     """
     import numpy as np
+
+    if "layers" in params and "layer_0" not in params:
+        params = unstack_esm_layers(params, cfg.num_layers)
 
     def arr(x):
         return np.asarray(x, dtype=np.float32)

@@ -64,19 +64,24 @@ def order_devices_for_mesh(
     ICI). Single-slice (or CPU) device lists come back unchanged up to a
     stable sort.
 
-    Raises if slices are uneven or model_parallel straddles a slice boundary
-    — a silently DCN-crossing TP group is a performance bug, not a fallback.
+    With model_parallel > 1, raises if slices are uneven or model_parallel
+    straddles a slice boundary — a silently DCN-crossing TP group is a
+    performance bug, not a fallback. Pure DP (model_parallel == 1) accepts
+    any slice topology.
     """
     devices = list(devices)
     groups: dict = {}
     for d in devices:
         groups.setdefault(getattr(d, "slice_index", 0) or 0, []).append(d)
-    if len(groups) > 1:
+    if len(groups) > 1 and model_parallel > 1:
+        # With model_parallel == 1 no TP group can straddle a slice, so
+        # uneven slice sizes are fine (pure-DP over a degraded/subset
+        # topology); the guards only protect multi-device TP groups.
         sizes = {len(g) for g in groups.values()}
         if len(sizes) != 1:
             raise ValueError(f"uneven slice sizes {sorted(sizes)}")
         per_slice = sizes.pop()
-        if model_parallel > 1 and per_slice % model_parallel != 0:
+        if per_slice % model_parallel != 0:
             raise ValueError(
                 f"model_parallel={model_parallel} does not divide the "
                 f"per-slice device count {per_slice}; a TP group would "
@@ -140,14 +145,23 @@ def shard_batch(ctx: MeshContext, batch, process_local: Optional[bool] = None):
         process_local = jax.process_count() > 1
 
     def put(x):
-        divisible = hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0
+        has_dim = hasattr(x, "shape") and x.ndim >= 1
         if not process_local:
+            divisible = has_dim and x.shape[0] % n == 0
             return jax.device_put(x, sh if divisible else repl)
         x = np.asarray(x)
+        # Each process holds 1/process_count of the data axis, so the
+        # shardability test is PER-PROCESS rows against the PER-PROCESS
+        # device count — checking local rows % n (the GLOBAL axis size)
+        # would misclassify valid local shards as replicated and commit
+        # per-host-divergent data under a replicated sharding.
+        pc = jax.process_count()
+        local_n = n // pc if n % pc == 0 else 0
+        divisible = has_dim and local_n > 0 and x.shape[0] % local_n == 0
         if not divisible:
             return jax.make_array_from_process_local_data(repl, x, x.shape)
         # local rows * process_count = global rows for the data-sharded dim
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        global_shape = (x.shape[0] * pc,) + x.shape[1:]
         return jax.make_array_from_process_local_data(sh, x, global_shape)
 
     return jax.tree_util.tree_map(put, batch)

@@ -573,21 +573,14 @@ class Trainer:
         and device_put on a background thread while the device runs the
         current step (data/prefetch.py)."""
         from clip_dplm_tpu.data.prefetch import DevicePrefetcher
-        from clip_dplm_tpu.parallel import batch_sharding, replicated_sharding
 
-        sharding = None
         if self.ctx is not None:
-            data_sh = batch_sharding(self.ctx)
-            repl = replicated_sharding(self.ctx)
-            n = self.ctx.data_size
-            # same rule as parallel.shard_batch: replicate non-divisible
-            # leaves (graph edge_index etc.)
-            sharding = lambda x: (
-                data_sh
-                if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0
-                else repl
-            )
-        return DevicePrefetcher(batches, sharding=sharding, depth=2)
+            # parallel.shard_batch owns the placement rule (data-sharded
+            # when the leading dim divides, replicated otherwise) AND the
+            # multi-process assembly of per-host shards into global arrays
+            # — a plain per-leaf device_put here would break on pods.
+            return DevicePrefetcher(batches, put=self._put, depth=2)
+        return DevicePrefetcher(batches, depth=2)
 
     def train(
         self,

@@ -308,3 +308,29 @@ def test_esm_scan_layers_matches_unrolled(rng):
     b = tower_s.apply({"params": ps}, toks, mask, pooling="mean_residues")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_unstack_inverts_stack_and_export_handles_scanned_trees(rng):
+    """unstack_esm_layers is the exact inverse of stack_esm_layers, and
+    export_esm_torch_params transparently unstacks a scan_layers tree (the
+    layout recommended for the big trunks the publish-back path targets)."""
+    from clip_dplm_tpu.models.esm import (
+        export_esm_torch_params, stack_esm_layers, unstack_esm_layers)
+
+    cfg = ESMConfig(name="tiny", vocab_size=33, d_model=64, num_layers=3,
+                    num_heads=4, max_len=64)
+    tower = ESMTower(cfg=cfg, dtype=jnp.float32)
+    toks, _ = protein.tokenize_batch([protein.random_protein(rng, 12)],
+                                     pad_multiple=8)
+    p = tower.init(jax.random.PRNGKey(0), jnp.asarray(toks))["params"]
+
+    rt = unstack_esm_layers(stack_esm_layers(p, cfg.num_layers), cfg.num_layers)
+    assert jax.tree_util.tree_structure(rt) == jax.tree_util.tree_structure(p)
+    for a, b in zip(jax.tree_util.tree_leaves(rt), jax.tree_util.tree_leaves(p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    sd_unrolled = export_esm_torch_params(p, cfg)
+    sd_scanned = export_esm_torch_params(stack_esm_layers(p, cfg.num_layers), cfg)
+    assert sd_unrolled.keys() == sd_scanned.keys()
+    for k in sd_unrolled:
+        np.testing.assert_array_equal(sd_unrolled[k], sd_scanned[k], err_msg=k)

@@ -173,6 +173,19 @@ def test_sample_with_per_row_lengths():
                                   np.asarray(full_via_lengths))
 
 
+def test_sample_clamps_oversized_lengths():
+    """lengths[i] > length must clamp to the padded maximum instead of
+    silently producing a row with no <eos> (the eos position would land
+    beyond the last column and residues would bleed into the pad region)."""
+    model, params = _tiny_dplm()
+    toks, _ = sample(model, params, jax.random.PRNGKey(3), batch_size=2,
+                     length=6, lengths=jnp.asarray([50, 3], jnp.int32))
+    toks = np.asarray(toks)
+    assert toks[0, 7] == protein.EOS_IDX  # clamped to length=6 -> eos last
+    assert ((toks[0, 1:7] >= 4) & (toks[0, 1:7] <= 23)).all()
+    assert toks[1, 4] == protein.EOS_IDX  # unclamped row unaffected
+
+
 def test_sample_rejects_bad_lengths_shape():
     model, params = _tiny_dplm()
     with pytest.raises(ValueError, match="lengths"):

@@ -168,7 +168,11 @@ def test_order_devices_rejects_straddling_tp_group():
     with _pytest.raises(ValueError, match="straddle"):
         order_devices_for_mesh(devs, model_parallel=4)
     with _pytest.raises(ValueError, match="uneven"):
-        order_devices_for_mesh(devs[:7], model_parallel=1)
+        order_devices_for_mesh(devs[:7], model_parallel=2)
+    # pure DP tolerates any slice topology (no TP group can straddle):
+    # uneven slices must NOT raise, and slices stay contiguous
+    ordered = order_devices_for_mesh(devs[:7], model_parallel=1)
+    assert [d.id for d in ordered] == [0, 1, 2, 3, 4, 5, 6]
 
 
 def test_order_devices_single_slice_identity():
@@ -197,3 +201,52 @@ def test_shard_batch_process_local_matches_device_put():
     for k in batch:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
         assert a[k].sharding == b[k].sharding, k
+
+
+def test_shard_batch_per_process_divisibility(monkeypatch):
+    """Multi-process classification must test PER-PROCESS rows against the
+    PER-PROCESS device count: 12 local rows on a data=8 mesh split over 2
+    processes (4 devices each) is a valid data shard (global 24 % 8 == 0)
+    even though 12 % 8 != 0 — the old global check replicated it, silently
+    committing per-host-divergent data."""
+    from clip_dplm_tpu.parallel import mesh as mesh_mod
+    from clip_dplm_tpu.parallel.mesh import (
+        batch_sharding, create_mesh, replicated_sharding, shard_batch)
+
+    ctx = create_mesh()  # 8 devices, data=8
+    calls = []
+
+    def fake_assemble(sharding, x, global_shape):
+        calls.append((sharding, tuple(global_shape)))
+        return x
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        mesh_mod.jax, "make_array_from_process_local_data", fake_assemble)
+    shard_batch(
+        ctx,
+        {"x": np.zeros((12, 3), np.float32),      # 12 % 4 == 0 -> sharded
+         "edge_index": np.zeros((2, 5), np.int32)},  # 2 % 4 != 0 -> replicated
+        process_local=True,
+    )
+    by_shape = {shape: sh for sh, shape in calls}
+    assert by_shape[(24, 3)] == batch_sharding(ctx)       # global rows
+    assert by_shape[(2, 5)] == replicated_sharding(ctx)   # local shape kept
+
+
+def test_prefetcher_uses_whole_batch_put():
+    """Trainer hands parallel.shard_batch to the prefetcher as `put`; the
+    prefetcher must route batches through it (a per-leaf device_put cannot
+    assemble multi-process global arrays)."""
+    from clip_dplm_tpu.data.prefetch import DevicePrefetcher
+
+    seen = []
+
+    def put(batch):
+        seen.append(batch)
+        return {k: v + 1 for k, v in batch.items()}
+
+    out = list(DevicePrefetcher(
+        [{"x": np.zeros(2)}, {"x": np.ones(2)}], put=put))
+    assert len(seen) == 2
+    np.testing.assert_array_equal(out[1]["x"], np.full(2, 2.0))
