@@ -321,6 +321,9 @@ class TrainConfig:
     # overlap checkpoint serialization/IO with training (Orbax background
     # threads); the trainer barriers before reads and at the end of training
     async_checkpoint: bool = True
+    # catch SIGTERM (spot/maintenance preemption notice) and checkpoint the
+    # live state at STEP granularity before exiting (train/preemption.py)
+    preemption_checkpoint: bool = True
     early_stopping_patience: int = 10
     seed: int = 42
     # scan this many train steps per jit call (the host stacks that many

@@ -35,6 +35,7 @@ class DevicePrefetcher:
         self._sharding = sharding
         self._transform = transform
         self._put = put
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._worker, args=(iter(batches),), daemon=True
         )
@@ -58,11 +59,38 @@ class DevicePrefetcher:
     def _worker(self, it: Iterator):
         try:
             for batch in it:
-                self._queue.put(self._put_device(batch))
+                if self._stop.is_set():
+                    return
+                out = self._put_device(batch)
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(out, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         except BaseException as e:  # surface worker errors to the consumer
             self._error = e
         finally:
-            self._queue.put(self._DONE)
+            # blocking put (bounded by the stop flag): the sentinel MUST
+            # reach the consumer on normal exhaustion even when the queue
+            # is full, or __next__ blocks forever
+            while True:
+                try:
+                    self._queue.put(self._DONE, timeout=0.1)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        break
+
+    def close(self) -> None:
+        """Stop the worker early (consumer abandons the iterator, e.g. on
+        preemption) and unblock it if it's waiting on a full queue."""
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
         return self

@@ -587,18 +587,58 @@ class Trainer:
         train_batches: Callable[[], Iterable],
         val_batches: Optional[Callable[[], Iterable]] = None,
         num_epochs: Optional[int] = None,
+        preemption_guard=None,
     ) -> Dict[str, list]:
+        """Run the epoch loop. With a checkpoint dir and
+        `train.preemption_checkpoint` (default on), SIGTERM — the
+        spot/maintenance preemption notice — triggers one step-granular
+        save of the live state before returning (train/preemption.py);
+        pass `preemption_guard` to control the signal set or to drive the
+        flag programmatically."""
         num_epochs = num_epochs or self.cfg.train.num_epochs
         stopper = EarlyStopping(self.cfg.train.early_stopping_patience)
+        guard = preemption_guard
+        installed = False
+        if (guard is None and self._ckpt is not None
+                and self.cfg.train.preemption_checkpoint):
+            from clip_dplm_tpu.train.preemption import PreemptionGuard
+
+            guard = PreemptionGuard()
+            guard.install()
+            installed = True
+        try:
+            self._train_epochs(
+                train_batches, val_batches, num_epochs, stopper, guard)
+        finally:
+            if installed:
+                guard.uninstall()
+            if self._ckpt:
+                self._ckpt.wait()  # async saves must be durable before returning
+        return self.history
+
+    def _train_epochs(self, train_batches, val_batches, num_epochs,
+                      stopper, guard) -> None:
         for epoch in range(num_epochs):
             t0 = time.time()
             losses = []
-            for batch in self._prefetched(self._grouped(train_batches())):
+            prefetcher = self._prefetched(self._grouped(train_batches()))
+            for batch in prefetcher:
                 self.state, metrics = self.train_step(self.state, batch)
                 losses.append(metrics["loss"])
                 self._global_step += self.steps_per_call
                 if self._profiler is not None:
                     self._profiler.step(self._global_step)
+                if guard is not None and guard.requested:
+                    # step-granular save of the LIVE state; resume picks up
+                    # at state.step instead of the last epoch boundary
+                    if hasattr(prefetcher, "close"):
+                        prefetcher.close()
+                    if self._ckpt:
+                        self._ckpt.save(
+                            self.state, int(jax.device_get(self.state.step)))
+                    self.history.setdefault("preempted_at_step", []).append(
+                        self._global_step)
+                    return
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))
             self.history["train_loss"].append(train_loss)
 
@@ -627,6 +667,3 @@ class Trainer:
                 self._ckpt.save(self.state, int(jax.device_get(self.state.step)))
             if stopper.should_stop:
                 break
-        if self._ckpt:
-            self._ckpt.wait()  # async saves must be durable before returning
-        return self.history

@@ -85,3 +85,73 @@ def test_async_save_restore(tmp_path):
     restored = mgr.restore(fresh)
     assert int(restored.step) == 9
     mgr.close()
+
+
+def test_preemption_signal_saves_live_state(tmp_path):
+    """SIGTERM mid-epoch (simulated on SIGUSR1) latches the guard, the
+    Trainer saves the LIVE state at step granularity, stops, and a restore
+    resumes exactly at the preempted step (train/preemption.py)."""
+    import os
+    import signal
+
+    from clip_dplm_tpu.models import TwoTowerCLIP as _M
+    from clip_dplm_tpu.train import PreemptionGuard, Trainer
+
+    cfg = apply_overrides(
+        Config(),
+        [
+            "tower_a.input_dim=16", "tower_a.hidden_size=32",
+            "tower_b.input_dim=16", "tower_b.hidden_size=32",
+            "projection.dim=16", "train.optim.total_steps=50",
+            "train.early_stopping_patience=100",
+        ],
+    )
+    model = _M(cfg=cfg)
+    ds = PairedEmbeddingDataset.synthetic(64, 16, 16)
+    batch0 = {k: v for k, v in next(ds.batches(16, shuffle=False)).items()
+              if k != "labels"}
+    state = create_train_state(model, cfg, batch0)
+    trainer = Trainer(cfg, state, checkpoint_dir=str(tmp_path / "ckpt"))
+    guard = PreemptionGuard(signals=(signal.SIGUSR1,))
+
+    def train_batches():
+        for i, b in enumerate(ds.batches(16, seed=0)):
+            if i == 2:  # the real delivery path: a signal, not request()
+                os.kill(os.getpid(), signal.SIGUSR1)
+            yield {k: v for k, v in b.items() if k != "labels"}
+
+    with guard:
+        history = trainer.train(
+            lambda: train_batches(), num_epochs=5, preemption_guard=guard)
+
+    # stopped mid-run: no epoch ever completed, and the preempted step is
+    # recorded (exact step depends on how far the prefetcher ran ahead of
+    # the consumer when the signal landed)
+    assert history["train_loss"] == []
+    assert len(history["preempted_at_step"]) == 1
+    saved_step = history["preempted_at_step"][0]
+    assert 1 <= saved_step <= 4
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    fresh = create_train_state(model, cfg, batch0)
+    restored = mgr.restore(fresh)
+    assert int(restored.step) == saved_step
+
+
+def test_preemption_guard_chains_and_restores_handlers():
+    import signal
+
+    from clip_dplm_tpu.train.preemption import PreemptionGuard
+
+    seen = []
+    prev = signal.signal(signal.SIGUSR2, lambda s, f: seen.append(s))
+    try:
+        with PreemptionGuard(signals=(signal.SIGUSR2,)) as g:
+            import os
+
+            os.kill(os.getpid(), signal.SIGUSR2)
+            assert g.requested
+            assert seen == [signal.SIGUSR2]  # chained to the prior handler
+        assert signal.getsignal(signal.SIGUSR2).__name__ == "<lambda>"
+    finally:
+        signal.signal(signal.SIGUSR2, prev)
