@@ -131,6 +131,15 @@ def main(argv=None):
         endpoints.append("/v1/generate")
     print(f"serving on http://{args.host}:{server.server_port} "
           f"({', '.join(endpoints)}) — ctrl-c to stop")
+    # SIGTERM (spot preemption / orchestrator stop) drains cleanly like
+    # ctrl-c: shutdown() lets in-flight requests finish, close() flushes
+    # the micro-batchers. serve_forever polls, so shutdown from a handler
+    # on the same thread would deadlock — hand it to a helper thread.
+    import signal
+    import threading
+
+    signal.signal(signal.SIGTERM, lambda s, f: threading.Thread(
+        target=server.shutdown, daemon=True).start())
     try:
         server.serve_forever()
     except KeyboardInterrupt:
