@@ -31,3 +31,41 @@ def test_validate_data_range():
     x = np.full((5, 2), 10.0, np.float32)
     with pytest.raises(DataValidationError, match="max"):
         validate_data(x, max_value=5.0)
+
+
+def test_watchdog_passes_through_success_and_failure():
+    import sys
+
+    from clip_dplm_tpu.utils.watchdog import run_with_watchdog
+
+    ok = run_with_watchdog([sys.executable, "-S", "-c", "print('hi')"],
+                           stall_timeout=30, echo=False)
+    assert ok.ok and ok.attempts == 1 and ok.stalled == 0
+    # a REAL failure (exits by itself, non-zero) must propagate, not retry
+    bad = run_with_watchdog([sys.executable, "-S", "-c", "raise SystemExit(3)"],
+                            stall_timeout=30, echo=False)
+    assert bad.returncode == 3 and bad.attempts == 1
+
+
+def test_watchdog_kills_silent_hang_and_retries(tmp_path):
+    """First attempt hangs silently (the tunnel signature) -> killed after
+    the stall timeout; second attempt finds the marker file and succeeds."""
+    import sys
+
+    from clip_dplm_tpu.utils.watchdog import run_with_watchdog
+
+    marker = tmp_path / "second_try"
+    prog = (
+        "import pathlib, sys, time\n"
+        f"m = pathlib.Path({str(marker)!r})\n"
+        "if m.exists():\n"
+        "    print('recovered'); sys.exit(0)\n"
+        "m.touch()\n"
+        "time.sleep(600)\n"  # silent hang
+    )
+    # -S skips sitecustomize (which preloads jax and would eat the
+    # stall budget in interpreter startup)
+    res = run_with_watchdog([sys.executable, "-S", "-c", prog],
+                            stall_timeout=1.5, retries=2, retry_delay=0.1,
+                            echo=False)
+    assert res.ok and res.attempts == 2 and res.stalled == 1
