@@ -40,6 +40,18 @@ def _enable_compile_cache() -> None:
 _enable_compile_cache()
 
 
+def _progress(msg: str) -> None:
+    """Phase marker on STDERR (stdout carries only the final JSON line).
+
+    The self-watchdog (see __main__) kills + retries on SILENCE — these
+    markers bound each potential hang point (device probe, compile, timing)
+    so a tunnel hang is detected within one stall window instead of eating
+    the driver's whole budget."""
+    import sys
+
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 # chip peak bf16 matmul FLOP/s (dense): v5e ~197 TFLOPs, v5p ~459, v4 ~275.
 _PEAK_FLOPS = {
     "v5 lite": 197e12,
@@ -144,6 +156,7 @@ def run_flagship(iters_env: str = "BENCH_ITERS") -> None:
         ]
         + _extra_overrides(),
     )
+    _progress(f"flagship: devices={len(jax.devices())} B={B}")
     model = RNARBPCLIP(cfg=cfg)
     rng = np.random.default_rng(0)
     la = rng.integers(sa // 2, sa, B)
@@ -159,6 +172,7 @@ def run_flagship(iters_env: str = "BENCH_ITERS") -> None:
     state = create_train_state(model, cfg, batch)
     step = make_train_step(cfg)
     iters = int(os.environ.get(iters_env, 50))
+    _progress("flagship: state ready; compiling step chain")
 
     @jax.jit
     def multi_step(state, batch):
@@ -170,6 +184,7 @@ def run_flagship(iters_env: str = "BENCH_ITERS") -> None:
 
     state, loss = multi_step(state, batch)
     float(loss)
+    _progress("flagship: warmup done; timing")
     t0 = time.perf_counter()
     state, loss = multi_step(state, batch)
     assert np.isfinite(float(loss))
@@ -241,6 +256,7 @@ def main() -> None:
         ]
         + _extra_overrides(),
     )
+    _progress(f"two_tower: devices={len(jax.devices())} B={B}")
     model = TwoTowerCLIP(cfg=cfg)
     rng = np.random.default_rng(0)
     batch = {
@@ -249,6 +265,7 @@ def main() -> None:
     }
     state = create_train_state(model, cfg, batch)
     step = make_train_step(cfg)
+    _progress("two_tower: state ready; compiling step chain")
 
     # The device tunnel only reliably syncs on host fetches, so the benchmark
     # scans `iters` chained train steps inside ONE jit call and fetches the
@@ -269,6 +286,7 @@ def main() -> None:
 
     state, loss = multi_step(state, batch)  # compile + warmup
     float(loss)
+    _progress("two_tower: warmup done; timing")
 
     t0 = time.perf_counter()
     state, loss = multi_step(state, batch)
@@ -291,5 +309,39 @@ def main() -> None:
     )
 
 
+def _self_watchdog() -> int:
+    """Re-run this script as a monitored child, killing + retrying on
+    SILENCE (the axon tunnel's hang signature — the process blocks forever
+    with no output and no exit). Phase markers on stderr bound every hang
+    point; the final JSON line passes through on stdout untouched, so the
+    driver's contract (`timeout 570 python bench.py` -> one JSON line) is
+    preserved while a transient hang costs one stall window instead of the
+    whole round's benchmark.
+
+    BENCH_NO_WATCHDOG=1 disables (runs in-process, previous behavior)."""
+    import os
+    import sys
+
+    from clip_dplm_tpu.utils.watchdog import run_with_watchdog
+
+    env_marker = "BENCH_WATCHDOG_CHILD"
+    os.environ[env_marker] = "1"  # inherited by the child via os.environ
+    res = run_with_watchdog(
+        [sys.executable, os.path.abspath(__file__)],
+        stall_timeout=float(os.environ.get("BENCH_STALL_TIMEOUT", 210.0)),
+        retries=1,
+        max_seconds=float(os.environ.get("BENCH_MAX_SECONDS", 540.0)),
+        retry_delay=5.0,
+        stderr_to_stdout=False,
+    )
+    return res.returncode
+
+
 if __name__ == "__main__":
-    main()
+    import os as _os
+
+    if (_os.environ.get("BENCH_WATCHDOG_CHILD") == "1"
+            or _os.environ.get("BENCH_NO_WATCHDOG") == "1"):
+        main()
+    else:
+        raise SystemExit(_self_watchdog())

@@ -38,13 +38,13 @@ class WatchdogResult:
 STALL_EXIT_CODE = 124  # mirrors coreutils `timeout`
 
 
-def _pump(proc: subprocess.Popen, last_output: list, echo: bool) -> None:
-    """Forward child output line-by-line, stamping the activity clock."""
-    for line in proc.stdout:  # type: ignore[union-attr]
+def _pump(stream, sink, last_output: list, echo: bool) -> None:
+    """Forward one child stream line-by-line, stamping the activity clock."""
+    for line in stream:
         last_output[0] = time.monotonic()
         if echo:
-            sys.stdout.write(line)
-            sys.stdout.flush()
+            sink.write(line)
+            sink.flush()
 
 
 def run_with_watchdog(
@@ -54,23 +54,37 @@ def run_with_watchdog(
     max_seconds: Optional[float] = None,
     echo: bool = True,
     retry_delay: float = 10.0,
+    stderr_to_stdout: bool = True,
 ) -> WatchdogResult:
     """Run `cmd`, killing + retrying when it goes silent for `stall_timeout`
     seconds. Returns after the first clean exit (code 0), the first REAL
-    failure (non-zero exit), or when attempts run out."""
+    failure (non-zero exit), or when attempts run out.
+
+    `stderr_to_stdout=False` keeps the child's streams separate (stdout ->
+    stdout, stderr -> stderr); both still feed the activity clock. Use it
+    when the caller's stdout is a machine-read contract (e.g. bench.py's
+    one JSON line) and progress markers ride stderr."""
     attempts = 0
     stalled = 0
     deadline = time.monotonic() + max_seconds if max_seconds else None
     while True:
         attempts += 1
         proc = subprocess.Popen(
-            list(cmd), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            list(cmd), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT if stderr_to_stdout else subprocess.PIPE,
             text=True, bufsize=1,
         )
         last_output = [time.monotonic()]
-        pump = threading.Thread(
-            target=_pump, args=(proc, last_output, echo), daemon=True)
-        pump.start()
+        pumps = [threading.Thread(
+            target=_pump, args=(proc.stdout, sys.stdout, last_output, echo),
+            daemon=True)]
+        if not stderr_to_stdout:
+            pumps.append(threading.Thread(
+                target=_pump,
+                args=(proc.stderr, sys.stderr, last_output, echo),
+                daemon=True))
+        for p in pumps:
+            p.start()
 
         killed = False
         while True:
@@ -86,7 +100,8 @@ def run_with_watchdog(
                 proc.wait()
                 killed = True
                 break
-        pump.join(timeout=5.0)
+        for p in pumps:
+            p.join(timeout=5.0)
 
         if not killed and proc.returncode == 0:
             return WatchdogResult(0, attempts, stalled)
@@ -98,7 +113,7 @@ def run_with_watchdog(
             print(f"[watchdog] attempt {attempts} stalled "
                   f"(>{stall_timeout:.0f}s silent); "
                   f"{'retrying' if attempts <= retries else 'giving up'}",
-                  flush=True)
+                  file=sys.stderr, flush=True)
         if attempts > retries or (
                 deadline is not None and time.monotonic() > deadline):
             return WatchdogResult(STALL_EXIT_CODE, attempts, stalled)

@@ -69,3 +69,25 @@ def test_watchdog_kills_silent_hang_and_retries(tmp_path):
                             stall_timeout=1.5, retries=2, retry_delay=0.1,
                             echo=False)
     assert res.ok and res.attempts == 2 and res.stalled == 1
+
+
+def test_watchdog_split_streams_keep_stdout_clean(capsys):
+    """stderr_to_stdout=False: the child's stdout payload (e.g. bench.py's
+    JSON line) passes through alone; progress markers stay on stderr. Both
+    streams feed the activity clock."""
+    import sys
+
+    from clip_dplm_tpu.utils.watchdog import run_with_watchdog
+
+    prog = (
+        "import sys\n"
+        "print('marker', file=sys.stderr)\n"
+        "print('{\"payload\": 1}')\n"
+    )
+    res = run_with_watchdog([sys.executable, "-S", "-c", prog],
+                            stall_timeout=30, echo=True,
+                            stderr_to_stdout=False)
+    out, err = capsys.readouterr()
+    assert res.ok
+    assert out.strip() == '{"payload": 1}'
+    assert "marker" in err
