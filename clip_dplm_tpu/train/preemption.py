@@ -10,9 +10,18 @@ difference between resuming at `state.step` and losing the epoch.
 Design: a signal handler only sets a flag (async-signal-safe, and Orbax
 must not run inside a handler); the Trainer polls the flag between steps —
 host-side, nanoseconds against a multi-ms device step — and performs one
-durable save before exiting its train loop. Every process of a multi-host
-job receives the signal locally and participates in the (collective) Orbax
-save, so no cross-host flag agreement is needed for the preemption case.
+durable save before exiting its train loop.
+
+Multi-host: the sharded-array Orbax save is a COLLECTIVE across processes
+at one agreed step, but SIGTERM lands on each host's Python at its own
+time — host A can latch the flag at step N while host B's dispatch is
+already at N+1, and mismatched collectives deadlock until the
+provisioner's SIGKILL (no checkpoint at all, the exact failure this
+feature exists to prevent). `requested_globally()` closes that window:
+every process calls it at the same host-loop boundary and it all-gathers
+the local flags, so the OR — and therefore the save step — is identical
+on every host. Single-process (and the CPU-mesh test environment) reduces
+to the local flag with no collective.
 """
 
 from __future__ import annotations
@@ -44,6 +53,25 @@ class PreemptionGuard:
 
     def request(self) -> None:
         self._event.set()
+
+    def requested_globally(self) -> bool:
+        """Cross-process agreement on the flag (see module docstring).
+
+        COLLECTIVE in multi-process jobs: every process must call this at
+        the same host-loop boundary (the Trainer does, unconditionally per
+        batch). The all-gather doubles as a barrier, so all hosts see the
+        same OR and enter the collective checkpoint save at the same step.
+        """
+        import jax
+
+        if jax.process_count() == 1:
+            return self.requested
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.asarray(self.requested, dtype=np.bool_))
+        return bool(np.any(flags))
 
     # -- signal plumbing ----------------------------------------------------
     def _handler(self, signum, frame) -> None:

@@ -622,23 +622,33 @@ class Trainer:
             t0 = time.time()
             losses = []
             prefetcher = self._prefetched(self._grouped(train_batches()))
-            for batch in prefetcher:
-                self.state, metrics = self.train_step(self.state, batch)
-                losses.append(metrics["loss"])
-                self._global_step += self.steps_per_call
-                if self._profiler is not None:
-                    self._profiler.step(self._global_step)
-                if guard is not None and guard.requested:
-                    # step-granular save of the LIVE state; resume picks up
-                    # at state.step instead of the last epoch boundary
-                    if hasattr(prefetcher, "close"):
-                        prefetcher.close()
-                    if self._ckpt:
-                        self._ckpt.save(
-                            self.state, int(jax.device_get(self.state.step)))
-                    self.history.setdefault("preempted_at_step", []).append(
-                        self._global_step)
-                    return
+            try:
+                for batch in prefetcher:
+                    self.state, metrics = self.train_step(self.state, batch)
+                    losses.append(metrics["loss"])
+                    self._global_step += self.steps_per_call
+                    if self._profiler is not None:
+                        self._profiler.step(self._global_step)
+                    # requested_globally is a per-batch collective in
+                    # multi-process jobs: all hosts see the same OR of the
+                    # flags, so they enter the collective save at the SAME
+                    # step (preemption.py module docstring)
+                    if guard is not None and guard.requested_globally():
+                        # step-granular save of the LIVE state; resume picks
+                        # up at state.step instead of the last epoch boundary
+                        if self._ckpt:
+                            self._ckpt.save(
+                                self.state,
+                                int(jax.device_get(self.state.step)))
+                        self.history.setdefault(
+                            "preempted_at_step", []).append(self._global_step)
+                        return
+            finally:
+                # also covers exceptions escaping train_step: an abandoned
+                # worker would otherwise spin on queue.Full forever, pinning
+                # `depth` device-resident batches
+                if hasattr(prefetcher, "close"):
+                    prefetcher.close()
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))
             self.history["train_loss"].append(train_loss)
 

@@ -16,6 +16,7 @@ CLI: ``python scripts/tpu_watchdog.py -t 300 -r 2 -- python bench.py``
 
 from __future__ import annotations
 
+import re
 import subprocess
 import sys
 import threading
@@ -29,6 +30,7 @@ class WatchdogResult:
     returncode: int        # exit code of the last attempt (124 = stalled)
     attempts: int
     stalled: int           # how many attempts were killed for silence
+    payload: Optional[str] = None  # line matched by success_pattern, if any
 
     @property
     def ok(self) -> bool:
@@ -38,13 +40,57 @@ class WatchdogResult:
 STALL_EXIT_CODE = 124  # mirrors coreutils `timeout`
 
 
-def _pump(stream, sink, last_output: list, echo: bool) -> None:
-    """Forward one child stream line-by-line, stamping the activity clock."""
-    for line in stream:
+class _PayloadMatcher:
+    """Line matcher over a chunked byte stream (see ``success_pattern``).
+
+    The pump threads hand it raw chunks; it re-assembles lines across
+    chunk boundaries and remembers the FIRST line matching the pattern.
+    Thread-safety: each stream gets its own matcher instance, so feed()
+    is only ever called from one thread; run_with_watchdog reads
+    ``matched`` after joining the pumps."""
+
+    def __init__(self, pattern: str):
+        self._re = re.compile(pattern)
+        self._tail = ""
+        self.matched: Optional[str] = None
+
+    def feed(self, chunk: bytes) -> None:
+        text = self._tail + chunk.decode("utf-8", errors="replace")
+        lines = text.split("\n")
+        self._tail = lines.pop()
+        for line in lines:
+            if self.matched is None and self._re.search(line):
+                self.matched = line
+
+    def close(self) -> None:
+        # a payload line with no trailing newline still counts at EOF
+        if self._tail:
+            self.feed(b"\n")
+
+
+def _pump(stream, sink, last_output: list, echo: bool,
+          matcher: Optional[_PayloadMatcher] = None) -> None:
+    """Forward one child stream, stamping the activity clock per CHUNK.
+
+    Chunks, not lines: \\r-style progress redraws (tqdm, spinners) never
+    complete a line, and a line-based reader would count an actively
+    working child as silent and kill it."""
+    binary_sink = getattr(sink, "buffer", None)
+    while True:
+        chunk = stream.read(65536)
+        if not chunk:
+            if matcher is not None:
+                matcher.close()
+            return
         last_output[0] = time.monotonic()
         if echo:
-            sink.write(line)
+            if binary_sink is not None:
+                binary_sink.write(chunk)
+            else:  # text-only sink (e.g. pytest capture)
+                sink.write(chunk.decode("utf-8", errors="replace"))
             sink.flush()
+        if matcher is not None:
+            matcher.feed(chunk)
 
 
 def run_with_watchdog(
@@ -55,6 +101,7 @@ def run_with_watchdog(
     echo: bool = True,
     retry_delay: float = 10.0,
     stderr_to_stdout: bool = True,
+    success_pattern: Optional[str] = None,
 ) -> WatchdogResult:
     """Run `cmd`, killing + retrying when it goes silent for `stall_timeout`
     seconds. Returns after the first clean exit (code 0), the first REAL
@@ -63,20 +110,32 @@ def run_with_watchdog(
     `stderr_to_stdout=False` keeps the child's streams separate (stdout ->
     stdout, stderr -> stderr); both still feed the activity clock. Use it
     when the caller's stdout is a machine-read contract (e.g. bench.py's
-    one JSON line) and progress markers ride stderr."""
+    one JSON line) and progress markers ride stderr.
+
+    `success_pattern`: regex searched against the child's STDOUT lines.
+    Once a line matches, the payload is considered delivered and the
+    attempt counts as SUCCESS (returncode 0, `result.payload` set) even if
+    the child subsequently stalls or exits non-zero — the axon tunnel can
+    hang in jax teardown AFTER bench.py has already printed its JSON line,
+    and that must not burn a retry or fail the run."""
     attempts = 0
     stalled = 0
     deadline = time.monotonic() + max_seconds if max_seconds else None
     while True:
         attempts += 1
+        # binary, unbuffered pipes: the pump stamps the activity clock per
+        # CHUNK, so \r-style progress redraws (never a complete line) still
+        # count as liveness
         proc = subprocess.Popen(
             list(cmd), stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT if stderr_to_stdout else subprocess.PIPE,
-            text=True, bufsize=1,
+            bufsize=0,
         )
+        matcher = _PayloadMatcher(success_pattern) if success_pattern else None
         last_output = [time.monotonic()]
         pumps = [threading.Thread(
-            target=_pump, args=(proc.stdout, sys.stdout, last_output, echo),
+            target=_pump,
+            args=(proc.stdout, sys.stdout, last_output, echo, matcher),
             daemon=True)]
         if not stderr_to_stdout:
             pumps.append(threading.Thread(
@@ -103,6 +162,13 @@ def run_with_watchdog(
         for p in pumps:
             p.join(timeout=5.0)
 
+        payload = matcher.matched if matcher is not None else None
+        if payload is not None:
+            # the contract line was delivered — success, whatever happened
+            # to the process afterwards (teardown hang, non-zero exit)
+            if killed:
+                stalled += 1
+            return WatchdogResult(0, attempts, stalled, payload=payload)
         if not killed and proc.returncode == 0:
             return WatchdogResult(0, attempts, stalled)
         if not killed:

@@ -155,3 +155,14 @@ def test_preemption_guard_chains_and_restores_handlers():
         assert signal.getsignal(signal.SIGUSR2).__name__ == "<lambda>"
     finally:
         signal.signal(signal.SIGUSR2, prev)
+
+
+def test_preemption_requested_globally_single_process():
+    """Single-process jobs (and this CPU-mesh test env) must reduce to the
+    local flag with no collective (preemption.py::requested_globally)."""
+    from clip_dplm_tpu.train.preemption import PreemptionGuard
+
+    g = PreemptionGuard(signals=())
+    assert g.requested_globally() is False
+    g.request()
+    assert g.requested_globally() is True

@@ -71,6 +71,68 @@ def test_watchdog_kills_silent_hang_and_retries(tmp_path):
     assert res.ok and res.attempts == 2 and res.stalled == 1
 
 
+def test_watchdog_carriage_return_redraws_count_as_liveness():
+    """\\r-style progress redraws never complete a line; the chunk-based
+    pump must still stamp the activity clock (a line-based reader would
+    kill an actively-working child as 'silent')."""
+    import sys
+
+    from clip_dplm_tpu.utils.watchdog import run_with_watchdog
+
+    prog = (
+        "import sys, time\n"
+        "for i in range(8):\n"
+        "    sys.stdout.write('\\rprogress %d' % i)\n"
+        "    sys.stdout.flush()\n"
+        "    time.sleep(0.4)\n"
+        "sys.stdout.write('\\n')\n"
+    )
+    # total runtime ~3.2 s with no newline until the end; stall_timeout
+    # 1.5 s would kill it if redraws didn't count as output
+    res = run_with_watchdog([sys.executable, "-S", "-c", prog],
+                            stall_timeout=1.5, retries=0, echo=False)
+    assert res.ok and res.stalled == 0
+
+
+def test_watchdog_payload_then_hang_is_success():
+    """Once the success_pattern line is delivered the attempt is a success
+    even if the child then hangs (the axon tunnel can hang in jax teardown
+    AFTER bench.py printed its JSON line) — no retry is burned."""
+    import sys
+
+    from clip_dplm_tpu.utils.watchdog import run_with_watchdog
+
+    prog = (
+        "import time\n"
+        "print('{\"metric\": \"x\", \"value\": 1}', flush=True)\n"
+        "time.sleep(600)\n"  # teardown hang
+    )
+    res = run_with_watchdog([sys.executable, "-S", "-c", prog],
+                            stall_timeout=1.5, retries=2, retry_delay=0.1,
+                            echo=False, success_pattern=r'^\{"metric"')
+    assert res.ok and res.attempts == 1
+    assert res.payload is not None and '"value": 1' in res.payload
+
+
+def test_watchdog_payload_no_newline_then_exit_nonzero_is_success():
+    """The payload counts at EOF even without a trailing newline, and a
+    non-zero exit AFTER the payload does not mask the delivered contract."""
+    import sys
+
+    from clip_dplm_tpu.utils.watchdog import run_with_watchdog
+
+    prog = (
+        "import sys\n"
+        "sys.stdout.write('{\"metric\": \"y\"}')\n"
+        "sys.stdout.flush()\n"
+        "sys.exit(7)\n"
+    )
+    res = run_with_watchdog([sys.executable, "-S", "-c", prog],
+                            stall_timeout=30, echo=False,
+                            success_pattern=r'^\{"metric"')
+    assert res.ok and res.payload == '{"metric": "y"}'
+
+
 def test_watchdog_split_streams_keep_stdout_clean(capsys):
     """stderr_to_stdout=False: the child's stdout payload (e.g. bench.py's
     JSON line) passes through alone; progress markers stay on stderr. Both
