@@ -157,6 +157,55 @@ def test_preemption_guard_chains_and_restores_handlers():
         signal.signal(signal.SIGUSR2, prev)
 
 
+def test_train_step_exception_closes_prefetcher():
+    """An exception escaping train_step must not leave the prefetch worker
+    blocked on a full queue (trainer closes the prefetcher in a finally);
+    an abandoned worker would pin `depth` device-resident batches forever."""
+    from clip_dplm_tpu.train import Trainer
+
+    cfg = apply_overrides(
+        Config(),
+        [
+            "tower_a.input_dim=16", "tower_a.hidden_size=32",
+            "tower_b.input_dim=16", "tower_b.hidden_size=32",
+            "projection.dim=16", "train.optim.total_steps=50",
+        ],
+    )
+    model = TwoTowerCLIP(cfg=cfg)
+    ds = PairedEmbeddingDataset.synthetic(32, 16, 16)
+    batch0 = {k: v for k, v in next(ds.batches(16, shuffle=False)).items()
+              if k != "labels"}
+    state = create_train_state(model, cfg, batch0)
+    trainer = Trainer(cfg, state)
+
+    def boom(state, batch):
+        raise RuntimeError("boom")
+
+    trainer.train_step = boom
+
+    captured = []
+    orig_prefetched = trainer._prefetched
+
+    def capture(batches):
+        pf = orig_prefetched(batches)
+        captured.append(pf)
+        return pf
+
+    trainer._prefetched = capture
+
+    def endless_batches():
+        # long enough that the worker is mid-stream (blocked on the depth-2
+        # queue) when train_step raises — the hazard the finally covers
+        while True:
+            yield batch0
+
+    with pytest.raises(RuntimeError, match="boom"):
+        trainer.train(lambda: endless_batches(), num_epochs=1)
+    (pf,) = captured
+    pf._thread.join(timeout=2.0)
+    assert not pf._thread.is_alive()
+
+
 def test_preemption_requested_globally_single_process():
     """Single-process jobs (and this CPU-mesh test env) must reduce to the
     local flag with no collective (preemption.py::requested_globally)."""
