@@ -324,6 +324,12 @@ class TrainConfig:
     # catch SIGTERM (spot/maintenance preemption notice) and checkpoint the
     # live state at STEP granularity before exiting (train/preemption.py)
     preemption_checkpoint: bool = True
+    # multi-host only: poll the cross-host flag agreement (a collective)
+    # every N host-loop batches instead of every batch — the allgather syncs
+    # host and device, killing the host's dispatch run-ahead if done per
+    # step. Preemption notices give tens of seconds; N batches of slack is
+    # safe. Single-process polling is a plain flag read every batch.
+    preemption_poll_batches: int = 8
     early_stopping_patience: int = 10
     seed: int = 42
     # scan this many train steps per jit call (the host stacks that many

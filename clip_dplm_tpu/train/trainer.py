@@ -622,18 +622,25 @@ class Trainer:
             t0 = time.time()
             losses = []
             prefetcher = self._prefetched(self._grouped(train_batches()))
+            # Multi-host, the flag agreement is a COLLECTIVE (an allgather
+            # that also syncs host with device, killing the host's dispatch
+            # run-ahead) — poll it only every `preemption_poll_batches`,
+            # at batch indices every host reaches identically, so all hosts
+            # enter the collective save at the SAME step (preemption.py
+            # module docstring). Single-process, the poll is a plain local
+            # flag read and runs every batch.
+            multi = jax.process_count() > 1
+            poll = max(1, self.cfg.train.preemption_poll_batches)
             try:
-                for batch in prefetcher:
+                for i, batch in enumerate(prefetcher):
                     self.state, metrics = self.train_step(self.state, batch)
                     losses.append(metrics["loss"])
                     self._global_step += self.steps_per_call
                     if self._profiler is not None:
                         self._profiler.step(self._global_step)
-                    # requested_globally is a per-batch collective in
-                    # multi-process jobs: all hosts see the same OR of the
-                    # flags, so they enter the collective save at the SAME
-                    # step (preemption.py module docstring)
-                    if guard is not None and guard.requested_globally():
+                    at_boundary = not multi or (i + 1) % poll == 0
+                    if (guard is not None and at_boundary
+                            and guard.requested_globally()):
                         # step-granular save of the LIVE state; resume picks
                         # up at state.step instead of the last epoch boundary
                         if self._ckpt:
@@ -649,6 +656,15 @@ class Trainer:
                 # `depth` device-resident batches
                 if hasattr(prefetcher, "close"):
                     prefetcher.close()
+            # epoch end is also an agreed boundary on every host: catches a
+            # flag latched within the last poll window of the epoch
+            if guard is not None and multi and guard.requested_globally():
+                if self._ckpt:
+                    self._ckpt.save(
+                        self.state, int(jax.device_get(self.state.step)))
+                self.history.setdefault(
+                    "preempted_at_step", []).append(self._global_step)
+                return
             train_loss = float(np.mean([jax.device_get(l) for l in losses]))
             self.history["train_loss"].append(train_loss)
 

@@ -206,6 +206,48 @@ def test_train_step_exception_closes_prefetcher():
     assert not pf._thread.is_alive()
 
 
+def test_preemption_poll_interval_multihost(monkeypatch):
+    """Multi-host, the flag agreement is a collective and must only run at
+    the deterministic poll boundary (every preemption_poll_batches), not
+    per batch — and the save happens at that boundary."""
+    from clip_dplm_tpu.train import Trainer
+
+    cfg = apply_overrides(
+        Config(),
+        [
+            "tower_a.input_dim=16", "tower_a.hidden_size=32",
+            "tower_b.input_dim=16", "tower_b.hidden_size=32",
+            "projection.dim=16", "train.optim.total_steps=50",
+            "train.preemption_poll_batches=4",
+        ],
+    )
+    model = TwoTowerCLIP(cfg=cfg)
+    ds = PairedEmbeddingDataset.synthetic(32, 16, 16)
+    batch0 = {k: v for k, v in next(ds.batches(16, shuffle=False)).items()
+              if k != "labels"}
+    state = create_train_state(model, cfg, batch0)
+    trainer = Trainer(cfg, state)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    class FakeGuard:
+        calls = 0
+
+        def requested_globally(self):
+            FakeGuard.calls += 1
+            return True  # "preempted" from the very first agreement
+
+    def batches():
+        for _ in range(16):
+            yield batch0
+
+    history = trainer.train(
+        lambda: batches(), num_epochs=1, preemption_guard=FakeGuard())
+    # flag latched before batch 0, but the collective only runs at the 4th
+    # batch — exactly one agreement call, save at step 4
+    assert FakeGuard.calls == 1
+    assert history["preempted_at_step"] == [4]
+
+
 def test_preemption_requested_globally_single_process():
     """Single-process jobs (and this CPU-mesh test env) must reduce to the
     local flag with no collective (preemption.py::requested_globally)."""
