@@ -58,9 +58,13 @@ class PreemptionGuard:
         """Cross-process agreement on the flag (see module docstring).
 
         COLLECTIVE in multi-process jobs: every process must call this at
-        the same host-loop boundary (the Trainer does, unconditionally per
-        batch). The all-gather doubles as a barrier, so all hosts see the
-        same OR and enter the collective checkpoint save at the same step.
+        the same host-loop boundary. The Trainer polls it only every
+        `train.preemption_poll_batches` batches plus at epoch ends —
+        boundaries every host reaches identically — because the all-gather
+        also syncs host with device and would kill the host's dispatch
+        run-ahead if issued per step. The all-gather doubles as a barrier,
+        so all hosts see the same OR and enter the collective checkpoint
+        save at the same step.
         """
         import jax
 
