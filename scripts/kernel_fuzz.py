@@ -118,6 +118,88 @@ def fuzz_short_attention(rng: np.random.Generator, case: int) -> str:
     return recipe
 
 
+def fuzz_qkv_proj(rng: np.random.Generator, case: int) -> str:
+    """Packed-qkv attention with fused out-projection (and optional
+    in-kernel RoPE) vs split + reference attention + XLA rotary/proj."""
+    from clip_dplm_tpu.models.esm import rotary_embed_bsd
+    from clip_dplm_tpu.ops.short_attention import (
+        fused_short_attention_qkv_proj,
+        short_attention_reference,
+    )
+
+    B = int(rng.choice([1, 2, 5]))
+    S = int(rng.choice([16, 40, 64, 96, 128]))
+    H = int(rng.choice([1, 2, 4]))
+    Dh = int(rng.choice([32, 64]))  # even: in-kernel RoPE requirement
+    rope = bool(rng.choice([True, False]))
+    D = H * Dh
+    recipe = f"qkv_proj B={B} S={S} H={H} Dh={Dh} rope={rope}"
+
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)), jnp.float32)
+    wo = jnp.asarray(rng.normal(size=(D, D)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    lens = rng.integers(1, S + 1, size=(B,))
+    mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+    w = mask[:, :, None].astype(jnp.float32)
+    pos = jnp.arange(S) if rope else None
+
+    def ref(qkv, wo, bo):
+        q, k, v = qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]
+        if rope:
+            q = rotary_embed_bsd(q, pos, H)
+            k = rotary_embed_bsd(k, pos, H)
+        o = short_attention_reference(q, k, v, H, mask=mask)
+        return jnp.sum(jnp.sin((o @ wo + bo) * w))
+
+    def fused(qkv, wo, bo):
+        return jnp.sum(jnp.sin(fused_short_attention_qkv_proj(
+            qkv, wo, bo, H, mask=mask, save_probs=False,
+            rope_positions=pos) * w))
+
+    ref_l, ref_g = jax.value_and_grad(ref, argnums=(0, 1, 2))(qkv, wo, bo)
+    with pltpu.force_tpu_interpret_mode():
+        got_l, got_g = jax.value_and_grad(
+            fused, argnums=(0, 1, 2))(qkv, wo, bo)
+    _close(got_l, ref_l, 1e-3, 1e-3, "out", recipe)
+    for g1, g2, n in zip(got_g, ref_g, ["dqkv", "dwo", "dbo"]):
+        _close(g1, g2, 1e-3, 1e-3, n, recipe)
+    return recipe
+
+
+def fuzz_cls_attention(rng: np.random.Generator, case: int) -> str:
+    """CLS-query kernel vs full reference attention sliced to row 0."""
+    from clip_dplm_tpu.ops.short_attention import (
+        fused_cls_attention,
+        short_attention_reference,
+    )
+
+    B = int(rng.choice([1, 2, 5, 9]))
+    S = int(rng.choice([16, 40, 64, 96, 128]))
+    H = int(rng.choice([1, 2, 4, 8]))
+    Dh = int(rng.choice([32, 64]))
+    D = H * Dh
+    recipe = f"cls B={B} S={S} H={H} Dh={Dh}"
+
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)), jnp.float32)
+    lens = rng.integers(1, S + 1, size=(B,))  # row 0 always a real token
+    mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+
+    def ref(qkv):
+        q, k, v = qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]
+        o = short_attention_reference(q, k, v, H, mask=mask)[:, :1]
+        return jnp.sum(jnp.sin(o))
+
+    def fused(qkv):
+        return jnp.sum(jnp.sin(fused_cls_attention(qkv, H, mask=mask)))
+
+    ref_l, ref_g = jax.value_and_grad(ref)(qkv)
+    with pltpu.force_tpu_interpret_mode():
+        got_l, got_g = jax.value_and_grad(fused)(qkv)
+    _close(got_l, ref_l, 1e-3, 1e-3, "out", recipe)
+    _close(got_g, ref_g, 1e-3, 1e-3, "dqkv", recipe)
+    return recipe
+
+
 def fuzz_fused_dense(rng: np.random.Generator, case: int) -> str:
     from clip_dplm_tpu.ops.fused_dense import fused_dense_norm_act
 
@@ -168,6 +250,8 @@ def fuzz_fused_dense(rng: np.random.Generator, case: int) -> str:
 FUZZERS = {
     "loss": fuzz_fused_loss,
     "attn": fuzz_short_attention,
+    "qkv_proj": fuzz_qkv_proj,
+    "cls": fuzz_cls_attention,
     "dense": fuzz_fused_dense,
 }
 
