@@ -334,8 +334,11 @@ def _self_watchdog() -> int:
         retry_delay=5.0,
         stderr_to_stdout=False,
         # once the JSON line is out, the contract is met — a tunnel hang in
-        # jax teardown afterwards must not fail the bench or burn the retry
+        # jax teardown afterwards must not fail the bench or burn the retry,
+        # and the hung child is reaped after a short grace (the JSON line is
+        # the bench's last output) instead of a full stall window
         success_pattern=r'^\{"metric"',
+        payload_grace=20.0,
     )
     return res.returncode
 

@@ -53,6 +53,7 @@ class _PayloadMatcher:
         self._re = re.compile(pattern)
         self._tail = ""
         self.matched: Optional[str] = None
+        self.matched_at: Optional[float] = None
 
     def feed(self, chunk: bytes) -> None:
         text = self._tail + chunk.decode("utf-8", errors="replace")
@@ -61,6 +62,7 @@ class _PayloadMatcher:
         for line in lines:
             if self.matched is None and self._re.search(line):
                 self.matched = line
+                self.matched_at = time.monotonic()
 
     def close(self) -> None:
         # a payload line with no trailing newline still counts at EOF
@@ -102,6 +104,7 @@ def run_with_watchdog(
     retry_delay: float = 10.0,
     stderr_to_stdout: bool = True,
     success_pattern: Optional[str] = None,
+    payload_grace: Optional[float] = None,
 ) -> WatchdogResult:
     """Run `cmd`, killing + retrying when it goes silent for `stall_timeout`
     seconds. Returns after the first clean exit (code 0), the first REAL
@@ -117,7 +120,12 @@ def run_with_watchdog(
     attempt counts as SUCCESS (returncode 0, `result.payload` set) even if
     the child subsequently stalls or exits non-zero — the axon tunnel can
     hang in jax teardown AFTER bench.py has already printed its JSON line,
-    and that must not burn a retry or fail the run."""
+    and that must not burn a retry or fail the run.
+
+    `payload_grace`: with a matched payload, kill a child still alive this
+    many seconds after the match instead of waiting out a full stall
+    window — for callers whose payload line is the LAST meaningful output
+    (bench.py), so a teardown hang costs seconds, not `stall_timeout`."""
     attempts = 0
     stalled = 0
     deadline = time.monotonic() + max_seconds if max_seconds else None
@@ -146,6 +154,7 @@ def run_with_watchdog(
             p.start()
 
         killed = False
+        grace_killed = False
         while True:
             try:
                 proc.wait(timeout=1.0)
@@ -154,10 +163,15 @@ def run_with_watchdog(
                 pass
             silent_for = time.monotonic() - last_output[0]
             out_of_time = deadline is not None and time.monotonic() > deadline
-            if silent_for > stall_timeout or out_of_time:
+            grace_up = (
+                payload_grace is not None and matcher is not None
+                and matcher.matched_at is not None
+                and time.monotonic() - matcher.matched_at > payload_grace)
+            if silent_for > stall_timeout or out_of_time or grace_up:
                 proc.kill()
                 proc.wait()
                 killed = True
+                grace_killed = grace_up and silent_for <= stall_timeout
                 break
         for p in pumps:
             p.join(timeout=5.0)
@@ -165,8 +179,9 @@ def run_with_watchdog(
         payload = matcher.matched if matcher is not None else None
         if payload is not None:
             # the contract line was delivered — success, whatever happened
-            # to the process afterwards (teardown hang, non-zero exit)
-            if killed:
+            # to the process afterwards (teardown hang, non-zero exit).
+            # A grace kill (payload done, child reaped early) is not a stall.
+            if killed and not grace_killed:
                 stalled += 1
             return WatchdogResult(0, attempts, stalled, payload=payload)
         if not killed and proc.returncode == 0:

@@ -114,6 +114,31 @@ def test_watchdog_payload_then_hang_is_success():
     assert res.payload is not None and '"value": 1' in res.payload
 
 
+def test_watchdog_payload_grace_reaps_hung_child_quickly():
+    """With payload_grace, a child that hangs after delivering the payload
+    is killed ~grace seconds after the match — not after a full stall
+    window — and the grace kill is not counted as a stall."""
+    import sys
+    import time as _time
+
+    from clip_dplm_tpu.utils.watchdog import run_with_watchdog
+
+    prog = (
+        "import time\n"
+        "print('{\"metric\": \"x\", \"value\": 1}', flush=True)\n"
+        "time.sleep(600)\n"  # teardown hang
+    )
+    t0 = _time.monotonic()
+    res = run_with_watchdog([sys.executable, "-S", "-c", prog],
+                            stall_timeout=60, retries=0, echo=False,
+                            success_pattern=r'^\{"metric"',
+                            payload_grace=1.0)
+    elapsed = _time.monotonic() - t0
+    assert res.ok and res.payload is not None
+    assert res.stalled == 0  # grace reap, not a stall
+    assert elapsed < 15, f"grace reap took {elapsed:.1f}s"
+
+
 def test_watchdog_payload_no_newline_then_exit_nonzero_is_success():
     """The payload counts at EOF even without a trailing newline, and a
     non-zero exit AFTER the payload does not mask the delivered contract."""
