@@ -326,9 +326,21 @@ def _self_watchdog() -> int:
 
     env_marker = "BENCH_WATCHDOG_CHILD"
     os.environ[env_marker] = "1"  # inherited by the child via os.environ
+    # A cold compile cache means the silent gap between the "compiling step
+    # chain" and "warmup done" markers is a real compile, not (necessarily)
+    # a hang — degraded-window compiles were measured at 156 s for a trivial
+    # program, and killing a slow-but-progressing compile burns BOTH
+    # attempts. Give the FIRST attempt a longer window when the cache is
+    # cold; retries keep the tight hang detector (the retry re-hits whatever
+    # the first compile managed to cache).
+    window = float(os.environ.get("BENCH_STALL_TIMEOUT", 210.0))
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_tpu_cache")
+    cache_cold = not (os.path.isdir(cache) and os.listdir(cache))
+    first_window = max(window, 420.0) if cache_cold else window
     res = run_with_watchdog(
         [sys.executable, os.path.abspath(__file__)],
-        stall_timeout=float(os.environ.get("BENCH_STALL_TIMEOUT", 210.0)),
+        stall_timeout=[first_window, window],
         retries=1,
         max_seconds=float(os.environ.get("BENCH_MAX_SECONDS", 540.0)),
         retry_delay=5.0,

@@ -57,6 +57,10 @@ class ProjectionConfig:
     kind: str = "optimized"  # linear | base | optimized
     dim: int = 512
     hidden_dim: Optional[int] = None  # default: 2x input (base) / 4x dim (optimized)
+    # "gelu" is the flax/jax.nn default (tanh approximation; what the fused
+    # Pallas blocks implement); "gelu_exact" is erf-GELU, bit-matching
+    # torch.nn.GELU() for reference-parity A/Bs (forces the unfused path).
+    act: str = "gelu"  # gelu | gelu_exact | relu
     dropout: float = 0.1
     layer_scale_init: float = 1e-4
     # route Dense+LN+GELU+Dropout blocks through the fused Pallas block

@@ -19,6 +19,11 @@ Dtype = Any
 _ACTS = {
     "relu": nn.relu,
     "gelu": nn.gelu,
+    # erf-GELU, matching torch.nn.GELU()'s default (the reference's
+    # projection heads, old/clip.py:20-36); jax/flax default to the tanh
+    # approximation, a systematic (if tiny) numerics difference that the
+    # convergence-parity A/Bs must be able to rule out.
+    "gelu_exact": lambda x: nn.gelu(x, approximate=False),
     "silu": nn.silu,
     "tanh": jnp.tanh,
 }
@@ -344,6 +349,8 @@ class ProjectionHead(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         fused, interp = _fused_dense_mode(self.cfg.fused_dense)
+        if self.cfg.act != "gelu":
+            fused = False  # the fused kernel implements tanh-GELU only
         if fused:
             h = _fused_block(
                 self, x.astype(self.dtype), self.cfg.dim, dense_name="fc1",
@@ -368,7 +375,7 @@ class ProjectionHead(nn.Module):
                      param_dtype=self.param_dtype, name="fc1")(x.astype(self.dtype))
         h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
                          name="ln1")(h).astype(self.dtype)
-        h = nn.gelu(h)
+        h = _ACTS[self.cfg.act](h)
         h = nn.Dropout(self.cfg.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.cfg.dim, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="fc2")(h)
@@ -397,6 +404,8 @@ class OptimizedProjectionHead(nn.Module):
         skip = nn.Dense(self.cfg.dim, kernel_init=init, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="skip")(x)
         fused, interp = _fused_dense_mode(self.cfg.fused_dense)
+        if self.cfg.act != "gelu":
+            fused = False  # the fused kernel implements tanh-GELU only
         h = x
         if fused:
             for i in range(2):
@@ -429,7 +438,7 @@ class OptimizedProjectionHead(nn.Module):
                              param_dtype=self.param_dtype, name=f"fc{i}")(h)
                 h = nn.LayerNorm(dtype=jnp.float32, param_dtype=self.param_dtype,
                                  name=f"ln{i}")(h).astype(self.dtype)
-                h = nn.gelu(h)
+                h = _ACTS[self.cfg.act](h)
                 h = nn.Dropout(self.cfg.dropout)(h, deterministic=deterministic)
             h = nn.Dense(self.cfg.dim, kernel_init=init, dtype=self.dtype,
                          param_dtype=self.param_dtype, name="fc_out")(h)

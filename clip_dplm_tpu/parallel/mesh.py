@@ -143,6 +143,16 @@ def shard_batch(ctx: MeshContext, batch, process_local: Optional[bool] = None):
     n = ctx.data_size
     if process_local is None:
         process_local = jax.process_count() > 1
+    pc = jax.process_count() if process_local else 1
+    if process_local and n % pc != 0:
+        # With a data axis that does not divide across processes there is no
+        # valid per-process shard size: EVERY leaf would fall into the
+        # replicated-assembly path below, and per-host dataloader output is
+        # per-host DIVERGENT — committing it replicated is silent corruption.
+        raise ValueError(
+            f"shard_batch: data axis size {n} does not divide across "
+            f"{pc} processes; per-process batches cannot be assembled"
+        )
 
     def put(x):
         has_dim = hasattr(x, "shape") and x.ndim >= 1
@@ -155,10 +165,21 @@ def shard_batch(ctx: MeshContext, batch, process_local: Optional[bool] = None):
         # device count — checking local rows % n (the GLOBAL axis size)
         # would misclassify valid local shards as replicated and commit
         # per-host-divergent data under a replicated sharding.
-        pc = jax.process_count()
-        local_n = n // pc if n % pc == 0 else 0
-        divisible = has_dim and local_n > 0 and x.shape[0] % local_n == 0
+        local_n = n // pc
+        divisible = has_dim and x.shape[0] % local_n == 0
         if not divisible:
+            # Legitimate for genuinely replicated leaves (e.g. a shared
+            # (2, E) edge_index), but a silent-corruption hazard if a
+            # per-host-divergent leaf lands here — make it visible.
+            import warnings
+
+            shape = getattr(x, "shape", ())
+            warnings.warn(
+                f"shard_batch: leaf with shape {shape} does not divide the "
+                f"per-process batch ({local_n} rows/process); assembling it "
+                "REPLICATED — it must hold identical data on every process",
+                stacklevel=3,
+            )
             return jax.make_array_from_process_local_data(repl, x, x.shape)
         # local rows * process_count = global rows for the data-sharded dim
         global_shape = (x.shape[0] * pc,) + x.shape[1:]

@@ -16,7 +16,9 @@ CLI: ``python scripts/tpu_watchdog.py -t 300 -r 2 -- python bench.py``
 
 from __future__ import annotations
 
+import os
 import re
+import signal
 import subprocess
 import sys
 import threading
@@ -95,9 +97,19 @@ def _pump(stream, sink, last_output: list, echo: bool,
             matcher.feed(chunk)
 
 
+def _kill_tree(proc: subprocess.Popen) -> None:
+    """SIGKILL the child's whole process group (it was started with
+    start_new_session=True, so its pgid == its pid); fall back to killing
+    just the child if the group is already gone."""
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError, OSError):
+        proc.kill()
+
+
 def run_with_watchdog(
     cmd: Sequence[str],
-    stall_timeout: float = 300.0,
+    stall_timeout: "float | Sequence[float]" = 300.0,
     retries: int = 2,
     max_seconds: Optional[float] = None,
     echo: bool = True,
@@ -109,6 +121,10 @@ def run_with_watchdog(
     """Run `cmd`, killing + retrying when it goes silent for `stall_timeout`
     seconds. Returns after the first clean exit (code 0), the first REAL
     failure (non-zero exit), or when attempts run out.
+
+    `stall_timeout` may be a sequence of per-attempt windows (last value
+    repeats): e.g. ``[420, 210]`` gives the first attempt a long window for
+    a cold-cache compile while retries keep the tight hang detector.
 
     `stderr_to_stdout=False` keeps the child's streams separate (stdout ->
     stdout, stderr -> stderr); both still feed the activity clock. Use it
@@ -128,16 +144,26 @@ def run_with_watchdog(
     (bench.py), so a teardown hang costs seconds, not `stall_timeout`."""
     attempts = 0
     stalled = 0
+    windows = (
+        [float(stall_timeout)]
+        if isinstance(stall_timeout, (int, float))
+        else [float(w) for w in stall_timeout]
+    )
     deadline = time.monotonic() + max_seconds if max_seconds else None
     while True:
         attempts += 1
+        window = windows[min(attempts - 1, len(windows) - 1)]
         # binary, unbuffered pipes: the pump stamps the activity clock per
         # CHUNK, so \r-style progress redraws (never a complete line) still
-        # count as liveness
+        # count as liveness. start_new_session puts the child in its own
+        # process GROUP so a stall-kill reaps the whole tree — a stalled
+        # child's own subprocesses would otherwise survive proc.kill() and
+        # keep holding the TPU, making the retry contend with the orphan.
         proc = subprocess.Popen(
             list(cmd), stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT if stderr_to_stdout else subprocess.PIPE,
             bufsize=0,
+            start_new_session=True,
         )
         matcher = _PayloadMatcher(success_pattern) if success_pattern else None
         last_output = [time.monotonic()]
@@ -167,11 +193,11 @@ def run_with_watchdog(
                 payload_grace is not None and matcher is not None
                 and matcher.matched_at is not None
                 and time.monotonic() - matcher.matched_at > payload_grace)
-            if silent_for > stall_timeout or out_of_time or grace_up:
-                proc.kill()
+            if silent_for > window or out_of_time or grace_up:
+                _kill_tree(proc)
                 proc.wait()
                 killed = True
-                grace_killed = grace_up and silent_for <= stall_timeout
+                grace_killed = grace_up and silent_for <= window
                 break
         for p in pumps:
             p.join(timeout=5.0)
@@ -192,7 +218,7 @@ def run_with_watchdog(
         stalled += 1
         if echo:
             print(f"[watchdog] attempt {attempts} stalled "
-                  f"(>{stall_timeout:.0f}s silent); "
+                  f"(>{window:.0f}s silent); "
                   f"{'retrying' if attempts <= retries else 'giving up'}",
                   file=sys.stderr, flush=True)
         if attempts > retries or (

@@ -31,6 +31,23 @@ def test_close_unblocks_worker_thread():
     assert not pf._thread.is_alive()
 
 
+def test_abandoned_iterator_reaps_worker():
+    """A consumer that drops the prefetcher without close() (breaks out of a
+    prefetch_to_device loop) must not leave the worker polling forever: the
+    weakref finalizer stops it at GC time. The worker thread deliberately
+    holds no reference to the DevicePrefetcher itself."""
+    import gc
+
+    pf = DevicePrefetcher(
+        ({"x": np.zeros(1, np.float32)} for _ in range(1000)), depth=1)
+    next(pf)
+    thread = pf._thread
+    del pf  # abandon without close()
+    gc.collect()
+    thread.join(timeout=2.0)
+    assert not thread.is_alive()
+
+
 def test_worker_error_raised_in_consumer():
     def gen():
         yield {"x": np.zeros(1, np.float32)}

@@ -71,6 +71,45 @@ def test_watchdog_kills_silent_hang_and_retries(tmp_path):
     assert res.ok and res.attempts == 2 and res.stalled == 1
 
 
+def test_watchdog_stall_kill_reaps_grandchildren(tmp_path):
+    """A stall-kill must take down the child's own subprocesses too (the
+    generic CLI runs arbitrary commands; an orphaned grandchild would keep
+    holding the TPU and contend with the retry). The child spawns a silent
+    grandchild that writes a marker if it survives past the kill."""
+    import os
+    import sys
+    import time
+
+    from clip_dplm_tpu.utils.watchdog import run_with_watchdog
+
+    marker = tmp_path / "grandchild_survived"
+    pid_file = tmp_path / "grandchild_pid"
+    grandchild = (
+        "import pathlib, time; time.sleep(4); "
+        f"pathlib.Path({str(marker)!r}).touch()"
+    )
+    prog = (
+        "import pathlib, subprocess, sys, time\n"
+        f"p = subprocess.Popen([sys.executable, '-S', '-c', {grandchild!r}])\n"
+        f"pathlib.Path({str(pid_file)!r}).write_text(str(p.pid))\n"
+        "time.sleep(600)\n"  # silent hang with the grandchild alive
+    )
+    res = run_with_watchdog([sys.executable, "-S", "-c", prog],
+                            stall_timeout=1.5, retries=0, retry_delay=0.1,
+                            echo=False)
+    assert res.returncode != 0 and res.stalled == 1
+    # give a surviving grandchild time to reach its marker write
+    deadline = time.monotonic() + 5.0
+    gc_pid = int(pid_file.read_text())
+    while time.monotonic() < deadline:
+        try:
+            os.kill(gc_pid, 0)  # still alive?
+        except ProcessLookupError:
+            break
+        time.sleep(0.1)
+    assert not marker.exists(), "grandchild survived the stall-kill"
+
+
 def test_watchdog_carriage_return_redraws_count_as_liveness():
     """\\r-style progress redraws never complete a line; the chunk-based
     pump must still stamp the activity clock (a line-based reader would
