@@ -34,6 +34,7 @@ def build_services(args):
     from clip_dplm_tpu.serving import EmbedService, GenerateService
 
     embed_svc = None
+    embed_tower = embed_variables = None
     if not args.no_embed:
         if args.bundle:
             from clip_dplm_tpu.utils.pretrained import load_pretrained
@@ -57,6 +58,7 @@ def build_services(args):
         embed_svc = EmbedService(
             tower, variables, pooling=args.pooling, max_len=args.max_len,
             max_batch=args.max_batch, max_wait_ms=args.max_wait_ms)
+        embed_tower, embed_variables = tower, variables
 
     gen_svc = None
     if args.dplm_bundle or args.dplm_random:
@@ -79,10 +81,52 @@ def build_services(args):
             dplm_params = model.init(
                 jax.random.PRNGKey(1), jax.numpy.asarray(toks))["params"]
             print("WARNING: serving RANDOM DPLM weights")
+        # CLIP guidance for /v1/generate (north star config 5's serving
+        # form): a protein scorer from a converted CLIP bundle, or — smoke
+        # only — the embed tower itself.
+        scorer_fn = None
+        conditions = None
+        if args.conditions_npz:
+            data = np.load(args.conditions_npz)
+            conditions = {k: data[k] for k in data.files}
+        if args.scorer_bundle:
+            from clip_dplm_tpu.models.layers import OptimizedProjectionHead
+            from clip_dplm_tpu.utils.pretrained import load_pretrained
+
+            scfg, _, sparams = load_pretrained(args.scorer_bundle)
+            s_tower = ESMTower(cfg=scfg.esm, dtype=jnp.bfloat16)
+            t_params = sparams["esm_tower"] if "esm_tower" in sparams \
+                else sparams
+            p_params = sparams.get("protein_proj") \
+                if hasattr(sparams, "get") else None
+            if p_params is not None:
+                proj = OptimizedProjectionHead(
+                    cfg=scfg.projection, dtype=jnp.bfloat16)
+
+                def scorer_fn(toks, mask):
+                    emb = s_tower.apply({"params": t_params}, toks, mask,
+                                        pooling="mean_residues")
+                    return proj.apply({"params": p_params}, emb)
+            else:
+                def scorer_fn(toks, mask):
+                    return s_tower.apply({"params": t_params}, toks, mask,
+                                         pooling="mean_residues")
+        elif args.guided_random:
+            if embed_tower is None:
+                raise SystemExit(
+                    "--guided-random reuses the embed tower as the scorer; "
+                    "it cannot be combined with --no-embed")
+
+            def scorer_fn(toks, mask):
+                return embed_tower.apply(
+                    embed_variables, toks, mask, pooling="mean_residues")
+
         gen_svc = GenerateService(
             model, dplm_params, max_len=args.gen_max_len,
             num_steps=args.gen_steps, temperature=args.gen_temperature,
-            max_batch=args.gen_max_batch, max_wait_ms=args.max_wait_ms)
+            max_batch=args.gen_max_batch, max_wait_ms=args.max_wait_ms,
+            scorer=scorer_fn, num_candidates=args.gen_candidates,
+            conditions=conditions)
     return embed_svc, gen_svc
 
 
@@ -112,6 +156,17 @@ def main(argv=None):
     parser.add_argument("--gen-steps", type=int, default=None)
     parser.add_argument("--gen-temperature", type=float, default=1.0)
     parser.add_argument("--gen-max-batch", type=int, default=32)
+    parser.add_argument("--scorer-bundle", default=None,
+                        help="pretrained CLIP bundle (esm_tower + "
+                             "protein_proj) scoring CLIP-guided generation")
+    parser.add_argument("--guided-random", action="store_true",
+                        help="guide /v1/generate with the (possibly random) "
+                             "embed tower — smoke only")
+    parser.add_argument("--gen-candidates", type=int, default=4,
+                        help="best-of-K candidates for guided sampling")
+    parser.add_argument("--conditions-npz", default=None,
+                        help=".npz of named conditioning embeddings, "
+                             "referenceable via condition_id")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args(argv)
     if args.platform:

@@ -19,7 +19,9 @@ Services:
   * `EmbedService` — protein sequences -> pooled ESM-tower embeddings
     (the serving form of experiments/embed.py's offline loop).
   * `GenerateService` — DPLM sampler with mixed per-request lengths in one
-    padded program (models/dplm.py `sample(lengths=...)`).
+    padded program (models/dplm.py `sample(lengths=...)`); optionally
+    CLIP-guided (best-of-K against a conditioning embedding,
+    `clip_guided_sample`) via a second, separately-coalesced batcher lane.
 
 `make_server` exposes them over stdlib HTTP (ThreadingHTTPServer — each
 request blocks on its future while the batcher aggregates across threads):
@@ -28,6 +30,9 @@ request blocks on its future while the batcher aggregates across threads):
   POST /v1/embed    {"sequences": [...]}            -> {"embeddings": ...}
   POST /v1/generate {"lengths": [...]} or {"num": N, "length": L}
                                  -> {"sequences": [...], "confidence": [...]}
+                    + optional {"condition": [d floats]} or
+                      {"condition_id": "name"} for CLIP-guided sampling
+                                 -> {"sequences", "clip_scores", "guided"}
 
 No external dependencies — json + http.server only, deployable on a TPU VM
 as `python -m clip_dplm_tpu.experiments.serve`.
@@ -251,6 +256,18 @@ class GenerateService:
     lengths=per-row)` — a single compiled program regardless of the length
     mix (dplm.py lengths support). Returns (sequence, mean residue logprob)
     per request.
+
+    **Guided mode** (the north star's serving form — BASELINE.json config 5,
+    "contrastive score guidance"): construct with `scorer` (a bound
+    `(tokens, mask) -> (B, d)` protein-embedding fn, e.g. the CLIP protein
+    tower) and pass a conditioning embedding per request. Guided requests run
+    `clip_guided_sample` — best-of-`num_candidates` reranking against the
+    per-row condition — through a SECOND batcher with its own fixed-shape
+    program, so guided and unguided traffic never mix in one device batch
+    (their programs differ) yet each coalesces within its own lane.
+    Conditioning embeddings may also be registered up front in `conditions`
+    (name -> (d,) vector) and referenced by id, so steady-state clients ship
+    a short string instead of a float vector per request.
     """
 
     def __init__(
@@ -263,10 +280,13 @@ class GenerateService:
         max_batch: int = 32,
         max_wait_ms: float = 10.0,
         seed: int = 0,
+        scorer: Optional[Callable] = None,
+        num_candidates: int = 4,
+        conditions: Optional[Dict[str, Any]] = None,
     ):
         import jax
 
-        from clip_dplm_tpu.models.dplm import sample
+        from clip_dplm_tpu.models.dplm import clip_guided_sample, sample
 
         self.max_len = max_len
         self.max_batch = max_batch
@@ -283,18 +303,72 @@ class GenerateService:
             self._run_batch, max_batch=max_batch,
             max_wait_ms=max_wait_ms, name="generate")
 
+        self.conditions = {
+            k: np.asarray(v, np.float32).reshape(-1)
+            for k, v in (conditions or {}).items()
+        }
+        self.guided_batcher: Optional[MicroBatcher] = None
+        if scorer is not None:
+            from clip_dplm_tpu.models.guided_generation import make_clip_scorer
+
+            def run_guided(key, lengths, cond):
+                # cond: (max_batch, d) per-row conditioning; zero rows
+                # (padding) l2-normalize to zero and score 0 everywhere,
+                # so they never perturb real rows' argmax.
+                score_fn = make_clip_scorer(scorer, cond)
+                return clip_guided_sample(
+                    model, params, key, score_fn, batch_size=max_batch,
+                    length=max_len, num_candidates=num_candidates,
+                    num_steps=num_steps, temperature=temperature,
+                    lengths=lengths)
+
+            self._sample_guided = jax.jit(run_guided)
+            self.guided_batcher = MicroBatcher(
+                self._run_batch_guided, max_batch=max_batch,
+                max_wait_ms=max_wait_ms, name="generate_guided")
+
+    def _resolve_condition(self, condition, condition_id):
+        if condition is not None and condition_id is not None:
+            raise ValueError(
+                "pass either condition or condition_id, not both")
+        if condition_id is not None:
+            if condition_id not in self.conditions:
+                raise ValueError(
+                    f"unknown condition_id {condition_id!r}; registered: "
+                    f"{sorted(self.conditions)}")
+            return self.conditions[condition_id]
+        cond = np.asarray(condition, np.float32).reshape(-1)
+        if cond.size == 0 or not np.all(np.isfinite(cond)):
+            raise ValueError(
+                "condition must be a non-empty finite vector")
+        return cond
+
     def generate(self, lengths: Sequence[int],
-                 timeout: Optional[float] = None):
+                 timeout: Optional[float] = None,
+                 condition=None, condition_id: Optional[str] = None):
         """Blocking: one generated sequence per requested length.
 
-        Returns (sequences: List[str], confidence: List[float]).
+        Unguided: returns (sequences, per-sequence mean residue logprob).
+        With `condition` (a (d,) embedding) or `condition_id` (a name
+        registered at construction): CLIP-guided best-of-K sampling toward
+        that embedding; returns (sequences, per-sequence CLIP scores).
         """
         for L in lengths:
             if not 1 <= int(L) <= self.max_len:
                 raise ValueError(
                     f"length {L} outside [1, {self.max_len}] "
                     f"(service max_len)")
-        out = self.batcher.map([int(L) for L in lengths], timeout=timeout)
+        lengths = [int(L) for L in lengths]
+        if condition is None and condition_id is None:
+            out = self.batcher.map(lengths, timeout=timeout)
+            return [s for s, _ in out], [c for _, c in out]
+        if self.guided_batcher is None:
+            raise ValueError(
+                "guided generation not configured: construct "
+                "GenerateService with scorer=...")
+        cond = self._resolve_condition(condition, condition_id)
+        out = self.guided_batcher.map(
+            [(L, cond) for L in lengths], timeout=timeout)
         return [s for s, _ in out], [c for _, c in out]
 
     def _run_batch(self, lengths: List[int]):
@@ -313,8 +387,31 @@ class GenerateService:
             out.append((seq, mean_logp))
         return out
 
+    def _run_batch_guided(self, payloads: List[Any]):
+        from clip_dplm_tpu.data.protein import detokenize
+
+        dims = {p[1].shape[0] for p in payloads}
+        if len(dims) != 1:
+            raise ValueError(
+                f"conditioning embeddings in one batch must share a "
+                f"dimension; got {sorted(dims)}")
+        d = dims.pop()
+        row_lengths = np.ones((self.max_batch,), np.int32)
+        cond = np.zeros((self.max_batch, d), np.float32)
+        for i, (L, c) in enumerate(payloads):
+            row_lengths[i] = L
+            cond[i] = c
+        self._key, sub = self._jax.random.split(self._key)
+        toks, scores = self._sample_guided(sub, row_lengths, cond)
+        toks = np.asarray(toks)
+        scores = np.asarray(scores, np.float32)
+        return [(detokenize(toks[i]), float(scores[i]))
+                for i in range(len(payloads))]
+
     def close(self) -> None:
         self.batcher.close()
+        if self.guided_batcher is not None:
+            self.guided_batcher.close()
 
 
 # ---------------------------------------------------------------------------
@@ -359,10 +456,14 @@ def make_server(
             if self.path == "/healthz":
                 self._send(200, {"ok": True})
             elif self.path == "/v1/stats":
-                self._send(200, {
+                stats = {
                     name: svc.batcher.stats()
                     for name, svc in services.items() if svc is not None
-                })
+                }
+                gen = services["generate"]
+                if gen is not None and gen.guided_batcher is not None:
+                    stats["generate_guided"] = gen.guided_batcher.stats()
+                self._send(200, stats)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -414,8 +515,17 @@ def make_server(
                 if not 1 <= num <= 1024:
                     raise ValueError('"num" must be in [1, 1024]')
                 lengths = [int(req.get("length", svc.max_len))] * num
-            seqs, conf = svc.generate(lengths, timeout=request_timeout)
-            self._send(200, {"sequences": seqs, "confidence": conf})
+            condition = req.get("condition")
+            condition_id = req.get("condition_id")
+            if condition is not None or condition_id is not None:
+                seqs, scores = svc.generate(
+                    lengths, timeout=request_timeout,
+                    condition=condition, condition_id=condition_id)
+                self._send(200, {"sequences": seqs, "clip_scores": scores,
+                                 "guided": True})
+            else:
+                seqs, conf = svc.generate(lengths, timeout=request_timeout)
+                self._send(200, {"sequences": seqs, "confidence": conf})
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.daemon_threads = True

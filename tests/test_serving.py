@@ -212,6 +212,63 @@ def test_generate_service_mixed_lengths():
         svc.close()
 
 
+def _tower_scorer(tower, variables):
+    return lambda toks, mask: tower.apply(
+        variables, toks, mask, pooling="mean_residues")
+
+
+def test_generate_service_guided():
+    """Guided lane end-to-end: best-of-K CLIP-guided sampling through the
+    service, the returned score IS the cosine of the returned sequence
+    against the condition, and the condition_id registry resolves."""
+    model, params = _tiny_dplm()
+    tower, variables = _tiny_tower()
+    cond = np.linspace(-1.0, 1.0, 32).astype(np.float32)
+    svc = GenerateService(model, params, max_len=10, max_batch=4,
+                          max_wait_ms=1.0, num_steps=4,
+                          scorer=_tower_scorer(tower, variables),
+                          num_candidates=3, conditions={"motif": cond})
+    try:
+        seqs, scores = svc.generate([4, 7], condition=cond, timeout=120)
+        assert [len(s) for s in seqs] == [4, 7]
+        residues = set("LAGVSERTIDPKQNFYMHWC")
+        assert all(set(s) <= residues for s in seqs)
+        assert all(-1.0 <= c <= 1.0 for c in scores)  # cosine similarity
+        # the score must be the actual CLIP score of the delivered sequence
+        for s, score in zip(seqs, scores):
+            toks, mask = protein.tokenize_batch([s], pad_multiple=12)
+            emb = np.asarray(tower.apply(
+                variables, jnp.asarray(toks), jnp.asarray(mask),
+                pooling="mean_residues"))[0]
+            want = float(
+                emb @ cond / (np.linalg.norm(emb) * np.linalg.norm(cond)))
+            assert abs(want - score) < 2e-3, (want, score)
+        # registry path resolves to the same program
+        seqs2, scores2 = svc.generate([4, 7], condition_id="motif",
+                                      timeout=120)
+        assert [len(s) for s in seqs2] == [4, 7]
+        assert all(-1.0 <= c <= 1.0 for c in scores2)
+        with pytest.raises(ValueError, match="unknown condition_id"):
+            svc.generate([4], condition_id="nope")
+        with pytest.raises(ValueError, match="not both"):
+            svc.generate([4], condition=cond, condition_id="motif")
+        with pytest.raises(ValueError, match="finite"):
+            svc.generate([4], condition=[np.nan] * 32)
+    finally:
+        svc.close()
+
+
+def test_generate_service_guided_requires_scorer():
+    model, params = _tiny_dplm()
+    svc = GenerateService(model, params, max_len=8, max_batch=2,
+                          max_wait_ms=1.0, num_steps=2)
+    try:
+        with pytest.raises(ValueError, match="scorer"):
+            svc.generate([4], condition=np.ones(8, np.float32))
+    finally:
+        svc.close()
+
+
 # ---------------------------------------------------------------------------
 # HTTP server end-to-end
 # ---------------------------------------------------------------------------
@@ -283,6 +340,51 @@ def test_http_server_end_to_end():
     finally:
         server.shutdown()
         embed_svc.close()
+        gen_svc.close()
+
+
+def test_http_guided_generate_end_to_end():
+    """Guided /v1/generate over HTTP: inline condition vectors, the
+    condition_id registry, the guided-lane stats, and error paths."""
+    model, params = _tiny_dplm()
+    tower, variables = _tiny_tower()
+    cond = np.linspace(-1.0, 1.0, 32).astype(np.float32)
+    gen_svc = GenerateService(model, params, max_len=8, max_batch=2,
+                              max_wait_ms=1.0, num_steps=2,
+                              scorer=_tower_scorer(tower, variables),
+                              num_candidates=2, conditions={"c0": cond})
+    server = make_server(generate=gen_svc, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    try:
+        status, body = _post(f"{base}/v1/generate",
+                             {"lengths": [5], "condition": cond.tolist()})
+        assert status == 200 and body["guided"] is True
+        assert [len(s) for s in body["sequences"]] == [5]
+        assert len(body["clip_scores"]) == 1
+        assert -1.0 <= body["clip_scores"][0] <= 1.0
+
+        status, body = _post(f"{base}/v1/generate",
+                             {"num": 2, "length": 4, "condition_id": "c0"})
+        assert status == 200 and body["guided"] is True
+        assert [len(s) for s in body["sequences"]] == [4, 4]
+
+        # unguided requests still ride the plain lane on the same service
+        status, body = _post(f"{base}/v1/generate", {"lengths": [3]})
+        assert status == 200 and "confidence" in body
+
+        status, body = _get(f"{base}/v1/stats")
+        assert status == 200
+        assert body["generate_guided"]["requests"] >= 3
+        assert body["generate"]["requests"] >= 1
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(f"{base}/v1/generate",
+                  {"lengths": [4], "condition_id": "nope"})
+        assert err.value.code == 400
+    finally:
+        server.shutdown()
         gen_svc.close()
 
 
