@@ -171,7 +171,10 @@ def run_flagship(iters_env: str = "BENCH_ITERS") -> None:
     }
     state = create_train_state(model, cfg, batch)
     step = make_train_step(cfg)
-    iters = int(os.environ.get(iters_env, 50))
+    # r4 operating-point sweep (RESULTS.md): iters 25/50/100 at B=1024 ->
+    # 0.7313/0.7360/0.7373 — 100 amortizes the tunnel's per-call charge best
+    # while keeping compile+2 calls inside the driver budget
+    iters = int(os.environ.get(iters_env, 100))
     _progress("flagship: state ready; compiling step chain")
 
     @jax.jit

@@ -16,10 +16,13 @@ one-paragraph summary); this is a from-scratch build:
     sample, keep the highest-confidence fraction per a cosine unmasking
     schedule, re-mask the rest (MaskGIT/DPLM-style iterative unmasking) —
     static shapes, no data-dependent control flow.
-  * guidance: `clip_guided_sample` runs K candidate chains (vmapped — they
-    batch onto the MXU) and reranks by a caller-provided CLIP score
-    (similarity of the decoded protein's embedding to a conditioning
-    embedding); per-step soft guidance can bias logits via `logit_bias_fn`.
+  * guidance: `clip_guided_sample` runs K candidate chains — flattened into
+    one K*B-row chain by default (all chain randomness is per-row, so this is
+    distributionally exact and keeps every trunk dot in the well-emitted
+    (rows, d) form instead of a vmap-added leading batch dim) — and reranks
+    by a caller-provided CLIP score (similarity of the decoded protein's
+    embedding to a conditioning embedding); per-step soft guidance can bias
+    logits via `logit_bias_fn`.
 """
 
 from __future__ import annotations
@@ -306,27 +309,63 @@ def clip_guided_sample(
     temperature: float = 1.0,
     logit_bias_fn: Optional[Callable] = None,
     lengths: Optional[jax.Array] = None,
+    flatten_chains: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Best-of-K CLIP-guided sampling.
 
-    Runs K independent denoising chains (vmapped -> batched on the MXU) and
-    keeps, per output slot, the candidate maximizing `score_fn(tokens)` — the
-    contrastive-head CLIP score against a conditioning embedding. Returns
+    Runs K independent denoising chains and keeps, per output slot, the
+    candidate maximizing `score_fn(tokens)` — the contrastive-head CLIP
+    score against a conditioning embedding. Returns
     (tokens (B, length+2), scores (B,)).
+
+    `flatten_chains=True` (default) runs the K chains as ONE chain of
+    K*batch_size rows instead of vmapping K B-row chains. Every source of
+    randomness in `sample` is drawn i.i.d. per row (Gumbel proposal noise,
+    confidence tie-break noise) and the re-mask schedule is per-row, so the
+    two forms are identical in distribution (not bitwise: the flattened
+    chain folds the K keys into one). The flattened form keeps each TRUNK
+    dot in the (rows, S, d) @ (d, n) shape XLA emits well on TPU; the
+    vmapped form adds a leading batch dim, which the ffn_out probe measured
+    at 33.6% MXU vs 50.1% for the unbatched form at the sampler geometry
+    (RESULTS.md round-4 ffn_out decomposition). `score_fn` and
+    `logit_bias_fn` keep their (B, ...) contracts in both modes: under
+    flattening they are vmapped over the K chain views, so per-row
+    conditioning (cond shape (B, d)) works unchanged.
     """
     K = num_candidates or model.cfg.num_candidates
-    keys = jax.random.split(key, K)
 
-    def one_chain(k):
+    if flatten_chains:
+        lengths_f = None if lengths is None else jnp.tile(lengths, K)
+        bias_f = None
+        if logit_bias_fn is not None:
+            def bias_f(tokens, logits):
+                S_, V_ = logits.shape[-2], logits.shape[-1]
+                bias = jax.vmap(logit_bias_fn)(
+                    tokens.reshape(K, batch_size, S_),
+                    logits.reshape(K, batch_size, S_, V_))
+                # the contract allows broadcastable returns (e.g. (B, 1, V))
+                bias = jnp.broadcast_to(bias, (K, batch_size, S_, V_))
+                return bias.reshape(K * batch_size, S_, V_)
         toks, _ = sample(
-            model, params, k, batch_size, length,
+            model, params, key, K * batch_size, length,
             num_steps=num_steps, temperature=temperature,
-            logit_bias_fn=logit_bias_fn, lengths=lengths,
+            logit_bias_fn=bias_f, lengths=lengths_f,
         )
-        return toks
+        candidates = toks.reshape(K, batch_size, -1)  # (K, B, S)
+        scores = jax.vmap(score_fn)(candidates)  # (K, B)
+    else:
+        keys = jax.random.split(key, K)
 
-    candidates = jax.vmap(one_chain)(keys)  # (K, B, S)
-    scores = jax.vmap(score_fn)(candidates)  # (K, B)
+        def one_chain(k):
+            toks, _ = sample(
+                model, params, k, batch_size, length,
+                num_steps=num_steps, temperature=temperature,
+                logit_bias_fn=logit_bias_fn, lengths=lengths,
+            )
+            return toks
+
+        candidates = jax.vmap(one_chain)(keys)  # (K, B, S)
+        scores = jax.vmap(score_fn)(candidates)  # (K, B)
     best = jnp.argmax(scores, axis=0)  # (B,)
     B = batch_size
     picked = candidates[best, jnp.arange(B)]  # (B, S)

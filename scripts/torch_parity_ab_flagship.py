@@ -1,5 +1,20 @@
 """Flagship convergence A/B: the token-transformer RNA<->RBP CLIP class.
 
+Two comparisons (round 4 makes the second the GATED one):
+
+1. **Architecture context** (the round-3 A/B): JAX `RNARBPCLIP` with its
+   native init vs a faithful torch replica of the REFERENCE's model class
+   (rna nb cell 28) — measures the redesign win (input proj, learned CLS,
+   pre-LN), NOT framework numerics.
+2. **Matched-init framework gate** (VERDICT r3 item 1): a torch TWIN of the
+   repo's `RNARBPCLIP` itself — same input projection, learned CLS token,
+   pre-LN packed-qkv blocks, tanh-GELU, eps=1e-6 LNs, skip+layer-scale
+   optimized projection heads — with torch->flax INIT TRANSFER and paired
+   seeds (same data, same batch order, same initial point). The per-seed
+   best-epoch val-R@1 delta isolates the framework numerics of the JAX
+   training stack at the flagship class; pass = 95% t-CI of the paired
+   delta entirely inside +/-0.5% (BASELINE.json gate).
+
 JAX `RNARBPCLIP` (models/token_towers.py) vs a faithful PyTorch replica of the
 reference's 71.6M-param model class (current/rna_clip_codes.ipynb cell 28):
 
@@ -52,7 +67,9 @@ def make_data(seed: int):
     ds = TokenPairDataset.synthetic(
         1200, dim_a=DIM_A, dim_b=DIM_B,
         len_range_a=(6, S_A), len_range_b=(8, S_B),
-        latent_dim=8, noise=0.6, seed=seed,
+        # noise 1.2 keeps best-epoch R@1 off the ~0.99 ceiling the round-3
+        # setting (0.6) saturated at, so paired deltas stay discriminative
+        latent_dim=8, noise=1.2, seed=seed,
     )
     cut = int(len(ds) * 0.85)
     tr = TokenPairDataset(ds.seqs_a[:cut], ds.seqs_b[:cut])
@@ -167,11 +184,229 @@ def run_torch(tr, va, epochs: int, seed: int):
 
 
 # ---------------------------------------------------------------------------
+# torch TWIN of the repo's RNARBPCLIP (matched-init framework gate)
+# ---------------------------------------------------------------------------
+
+
+def _twin_modules():
+    """Torch modules mirroring models/token_towers.py op-for-op (fp32):
+    pre-LN blocks with packed qkv, tanh-GELU, eps=1e-6 LayerNorms, learned
+    CLS + positional embeddings, OptimizedProjectionHead skip/layer-scale."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class TwinBlock(nn.Module):
+        def __init__(self, d, heads):
+            super().__init__()
+            self.ln_attn = nn.LayerNorm(d, eps=1e-6)
+            self.qkv = nn.Linear(d, 3 * d)
+            self.out_proj = nn.Linear(d, d)
+            self.ln_ffn = nn.LayerNorm(d, eps=1e-6)
+            self.ffn_in = nn.Linear(d, 4 * d)
+            self.ffn_out = nn.Linear(4 * d, d)
+            self.drop = nn.Dropout(0.1)
+            self.heads = heads
+
+        def forward(self, x, mask):  # mask: (B, S) True == valid
+            B, S, D = x.shape
+            H = self.heads
+            h = self.ln_attn(x)
+            q, k, v = self.qkv(h).chunk(3, dim=-1)
+            split = lambda t: t.view(B, S, H, D // H).transpose(1, 2)
+            logits = (split(q) @ split(k).transpose(-2, -1)) / (D // H) ** 0.5
+            logits = logits.masked_fill(~mask[:, None, None, :], -1e30)
+            attn = (logits.softmax(-1) @ split(v)).transpose(1, 2).reshape(
+                B, S, D)
+            x = x + self.drop(self.out_proj(attn))
+            h = self.ln_ffn(x)
+            h = self.ffn_out(F.gelu(self.ffn_in(h), approximate="tanh"))
+            return x + self.drop(h)
+
+    class TwinTower(nn.Module):
+        def __init__(self, din, d, max_len):
+            super().__init__()
+            self.input_proj = nn.Linear(din, d)
+            self.pos_embed = nn.Parameter(0.02 * torch.randn(1, max_len, d))
+            self.cls_token = nn.Parameter(0.02 * torch.randn(1, 1, d))
+            self.blocks = nn.ModuleList(
+                [TwinBlock(d, HEADS) for _ in range(LAYERS)])
+            self.final_ln = nn.LayerNorm(d, eps=1e-6)
+
+        def forward(self, x, mask):
+            B, S, _ = x.shape
+            h = self.input_proj(x) + self.pos_embed[:, :S]
+            h = torch.cat([self.cls_token.expand(B, -1, -1), h], dim=1)
+            m = torch.cat(
+                [torch.ones(B, 1, dtype=torch.bool), mask], dim=1)
+            for blk in self.blocks:
+                h = blk(h, m)
+            return self.final_ln(h)[:, 0]
+
+    class TwinProj(nn.Module):  # OptimizedProjectionHead
+        def __init__(self, din, dout, hidden):
+            super().__init__()
+            self.skip = nn.Linear(din, dout)
+            self.fc0, self.ln0 = nn.Linear(din, hidden), nn.LayerNorm(
+                hidden, eps=1e-6)
+            self.fc1, self.ln1 = nn.Linear(hidden, hidden), nn.LayerNorm(
+                hidden, eps=1e-6)
+            self.fc_out, self.ln_out = nn.Linear(hidden, dout), nn.LayerNorm(
+                dout, eps=1e-6)
+            self.layer_scale = nn.Parameter(torch.full((1,), 1e-4))
+            self.drop = nn.Dropout(0.1)
+            for lin in (self.skip, self.fc0, self.fc1, self.fc_out):
+                nn.init.xavier_uniform_(lin.weight)
+
+        def forward(self, x):
+            h = self.drop(F.gelu(self.ln0(self.fc0(x)), approximate="tanh"))
+            h = self.drop(F.gelu(self.ln1(self.fc1(h)), approximate="tanh"))
+            h = self.ln_out(self.fc_out(h))
+            return self.skip(x) + self.layer_scale * h
+
+    class TwinModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.rna_tower = TwinTower(DIM_A, D_MODEL, S_A)
+            self.rbp_tower = TwinTower(DIM_B, D_MODEL, S_B)
+            self.rna_proj = TwinProj(D_MODEL, PROJ, 2 * D_MODEL)
+            self.rbp_proj = TwinProj(D_MODEL, PROJ, 2 * D_MODEL)
+            self.logit_scale = nn.Parameter(
+                torch.ones([]) * np.log(1 / 0.07))
+
+        def forward(self, a, am, b, bm):
+            za = F.normalize(self.rna_proj(self.rna_tower(a, am)), dim=-1)
+            zb = F.normalize(self.rbp_proj(self.rbp_tower(b, bm)), dim=-1)
+            scale = self.logit_scale.exp().clamp(max=100.0)
+            return za, zb, scale * za @ zb.T
+
+    return TwinModel
+
+
+def _twin_eval_r1(model, va):
+    import torch
+
+    model.eval()
+    zas, zbs = [], []
+    for bt in batches(va, 0, shuffle=False):
+        with torch.no_grad():
+            za, zb, _ = model(
+                torch.from_numpy(bt["rna_tokens"]),
+                torch.from_numpy(bt["rna_mask"]),
+                torch.from_numpy(bt["rbp_tokens"]),
+                torch.from_numpy(bt["rbp_mask"]),
+            )
+        zas.append(za.numpy())
+        zbs.append(zb.numpy())
+    model.train()
+    return retrieval_r_at_1(np.concatenate(zas), np.concatenate(zbs))
+
+
+def run_torch_twin(tr, va, epochs: int, seed: int):
+    """Train the torch twin; returns per-epoch val R@1 + the INITIAL
+    state_dict (numpy) for the torch->flax transfer."""
+    import torch
+
+    torch.manual_seed(seed)
+    model = _twin_modules()()
+    init_sd = {k: v.detach().numpy().copy()
+               for k, v in model.state_dict().items()}
+    r1_init = _twin_eval_r1(model, va)
+    opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=WD)
+    per_epoch = []
+    for epoch in range(epochs):
+        model.train()
+        for bt in batches(tr, seed * 1000 + epoch):
+            a = torch.from_numpy(bt["rna_tokens"])
+            am = torch.from_numpy(bt["rna_mask"])
+            b = torch.from_numpy(bt["rbp_tokens"])
+            bm = torch.from_numpy(bt["rbp_mask"])
+            _, _, logits = model(a, am, b, bm)
+            labels = torch.arange(len(a))
+            loss = 0.5 * (
+                torch.nn.functional.cross_entropy(logits, labels)
+                + torch.nn.functional.cross_entropy(logits.T, labels)
+            )
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        per_epoch.append(_twin_eval_r1(model, va))
+    return {"r_at_1_per_epoch": per_epoch,
+            "r_at_1_best": float(max(per_epoch)),
+            "r_at_1": per_epoch[-1],
+            "r_at_1_init": r1_init}, init_sd
+
+
+def _twin_sd_to_flax(sd, flax_params):
+    """torch state_dict -> flax param tree for RNARBPCLIP (same initial
+    point in both arms). Linear weights transpose; LN weight->scale."""
+    import jax
+
+    def tower(prefix, name):
+        t = {
+            "input_proj": {"kernel": sd[f"{prefix}.input_proj.weight"].T,
+                           "bias": sd[f"{prefix}.input_proj.bias"]},
+            "pos_embed": sd[f"{prefix}.pos_embed"],
+            "cls_token": sd[f"{prefix}.cls_token"],
+            "final_ln": {"scale": sd[f"{prefix}.final_ln.weight"],
+                         "bias": sd[f"{prefix}.final_ln.bias"]},
+        }
+        for i in range(LAYERS):
+            p = f"{prefix}.blocks.{i}"
+            t[f"block_{i}"] = {
+                "ln_attn": {"scale": sd[f"{p}.ln_attn.weight"],
+                            "bias": sd[f"{p}.ln_attn.bias"]},
+                "qkv": {"kernel": sd[f"{p}.qkv.weight"].T,
+                        "bias": sd[f"{p}.qkv.bias"]},
+                "out_proj": {"kernel": sd[f"{p}.out_proj.weight"].T,
+                             "bias": sd[f"{p}.out_proj.bias"]},
+                "ln_ffn": {"scale": sd[f"{p}.ln_ffn.weight"],
+                           "bias": sd[f"{p}.ln_ffn.bias"]},
+                "ffn_in": {"kernel": sd[f"{p}.ffn_in.weight"].T,
+                           "bias": sd[f"{p}.ffn_in.bias"]},
+                "ffn_out": {"kernel": sd[f"{p}.ffn_out.weight"].T,
+                            "bias": sd[f"{p}.ffn_out.bias"]},
+            }
+        return t
+
+    def proj(prefix):
+        out = {"layer_scale": sd[f"{prefix}.layer_scale"]}
+        for lin in ("skip", "fc0", "fc1", "fc_out"):
+            out[lin] = {"kernel": sd[f"{prefix}.{lin}.weight"].T,
+                        "bias": sd[f"{prefix}.{lin}.bias"]}
+        for ln in ("ln0", "ln1", "ln_out"):
+            out[ln] = {"scale": sd[f"{prefix}.{ln}.weight"],
+                       "bias": sd[f"{prefix}.{ln}.bias"]}
+        return out
+
+    new = {
+        "rna_tower": tower("rna_tower", "rna_tower"),
+        "rbp_tower": tower("rbp_tower", "rbp_tower"),
+        "rna_proj": proj("rna_proj"),
+        "rbp_proj": proj("rbp_proj"),
+        "logit_scale": sd["logit_scale"],
+    }
+    # shape-check against the native init tree: any mismatch is a twin bug
+    ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, flax_params)
+    new_shapes = jax.tree_util.tree_map(lambda x: np.asarray(x).shape, new)
+    if ref_shapes != new_shapes:
+        raise AssertionError(
+            f"twin->flax shape mismatch:\n{ref_shapes}\nvs\n{new_shapes}")
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), new)
+
+
+# ---------------------------------------------------------------------------
 # jax arm (the framework under test, registry-style)
 # ---------------------------------------------------------------------------
 
 
-def run_jax(tr, va, epochs: int, seed: int):
+def run_jax(tr, va, epochs: int, seed: int, init_sd=None,
+            per_epoch_eval: bool = False):
+    """The framework under test. With `init_sd` (a torch-twin state_dict),
+    the initial point is transferred torch->flax so the paired delta
+    isolates framework numerics; Adam moments start at zero in both arms."""
     import jax
     import jax.numpy as jnp
 
@@ -201,67 +436,131 @@ def run_jax(tr, va, epochs: int, seed: int):
     ex = next(iter(batches(tr, 0)))
     ex = {k: jnp.asarray(v) for k, v in ex.items()}
     state = create_train_state(model, cfg, ex)
+    if init_sd is not None:
+        state = state.replace(
+            params=_twin_sd_to_flax(init_sd, state.params))
     step = jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    apply = jax.jit(
+        lambda params, bt: model.apply(
+            {"params": params}, bt, deterministic=True))
+
+    def eval_r1(params):
+        zas, zbs = [], []
+        for bt in batches(va, 0, shuffle=False):
+            out = apply(params, {k: jnp.asarray(v) for k, v in bt.items()})
+            zas.append(np.asarray(out["emb_a"]))
+            zbs.append(np.asarray(out["emb_b"]))
+        return retrieval_r_at_1(np.concatenate(zas), np.concatenate(zbs))
+
+    r1_init = eval_r1(state.params) if init_sd is not None else None
+    per_epoch = []
     for epoch in range(epochs):
         for bt in batches(tr, seed * 1000 + epoch):
             state, _ = step(state, {k: jnp.asarray(v) for k, v in bt.items()})
-    zas, zbs = [], []
-    for bt in batches(va, 0, shuffle=False):
-        out = model.apply(
-            {"params": state.params},
-            {k: jnp.asarray(v) for k, v in bt.items()},
-            deterministic=True,
-        )
-        zas.append(np.asarray(out["emb_a"]))
-        zbs.append(np.asarray(out["emb_b"]))
-    return {"r_at_1": retrieval_r_at_1(np.concatenate(zas), np.concatenate(zbs))}
+        if per_epoch_eval:
+            per_epoch.append(eval_r1(state.params))
+    final = per_epoch[-1] if per_epoch_eval else eval_r1(state.params)
+    out = {"r_at_1": final}
+    if per_epoch_eval:
+        out["r_at_1_per_epoch"] = per_epoch
+        out["r_at_1_best"] = float(max(per_epoch))
+    if r1_init is not None:
+        # identical initial point + deterministic fp32 forwards: the two
+        # arms' init-time retrieval must agree (transfer-bug tripwire)
+        out["r_at_1_init"] = r1_init
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=15)
-    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seeds", type=int, default=20,
+                    help="paired matched-init twin seeds (the GATED arm)")
+    ap.add_argument("--context-seeds", type=int, default=3,
+                    help="seeds for the architecture-context arms "
+                         "(reference replica vs native-init JAX)")
     args = ap.parse_args()
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
-    results = {"torch": [], "jax": []}
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_parity_ab import paired_delta_stats  # same stats discipline
+
+    # --- matched-init framework gate (paired seeds) -----------------------
+    twin_results, matched_results, deltas = [], [], []
     for seed in range(args.seeds):
         tr, va = make_data(seed)
         t0 = time.time()
-        rt = run_torch(tr, va, args.epochs, seed)
+        tw, init_sd = run_torch_twin(tr, va, args.epochs, seed)
         t1 = time.time()
-        rj = run_jax(tr, va, args.epochs, seed)
+        jm = run_jax(tr, va, args.epochs, seed, init_sd=init_sd,
+                     per_epoch_eval=True)
         t2 = time.time()
-        results["torch"].append(rt)
-        results["jax"].append(rj)
+        if abs(jm["r_at_1_init"] - tw["r_at_1_init"]) > 0.01:
+            raise AssertionError(
+                f"seed {seed}: init-forward disagreement "
+                f"(twin {tw['r_at_1_init']:.4f} vs flax "
+                f"{jm['r_at_1_init']:.4f}) — torch->flax transfer bug")
+        twin_results.append(tw)
+        matched_results.append(jm)
+        deltas.append(jm["r_at_1_best"] - tw["r_at_1_best"])
         print(
-            f"seed {seed}: torch R@1={rt['r_at_1']:.4f} ({t1 - t0:.0f}s)  "
-            f"jax R@1={rj['r_at_1']:.4f} ({t2 - t1:.0f}s)",
+            f"seed {seed}: twin-torch best R@1={tw['r_at_1_best']:.4f} "
+            f"({t1 - t0:.0f}s)  jax matched best R@1="
+            f"{jm['r_at_1_best']:.4f} ({t2 - t1:.0f}s)  "
+            f"delta={deltas[-1]:+.4f}",
             flush=True,
         )
 
-    summary = {}
+    summary = {
+        "torch_twin": {
+            "r_at_1_best_mean": float(np.mean(
+                [r["r_at_1_best"] for r in twin_results])),
+            "r_at_1_best_std": float(np.std(
+                [r["r_at_1_best"] for r in twin_results], ddof=1)),
+        },
+        "jax_matched_init": {
+            "r_at_1_best_mean": float(np.mean(
+                [r["r_at_1_best"] for r in matched_results])),
+            "r_at_1_best_std": float(np.std(
+                [r["r_at_1_best"] for r in matched_results], ddof=1)),
+        },
+        "paired_matched_init_best": paired_delta_stats(deltas),
+    }
+
+    # --- architecture context (the round-3 comparison, unpaired inits) ----
+    results = {"torch_reference_replica": [], "jax_native_init": []}
+    for seed in range(args.context_seeds):
+        tr, va = make_data(seed)
+        rt = run_torch(tr, va, args.epochs, seed)
+        rj = run_jax(tr, va, args.epochs, seed)
+        results["torch_reference_replica"].append(rt)
+        results["jax_native_init"].append(rj)
+        print(f"context seed {seed}: reference-replica R@1="
+              f"{rt['r_at_1']:.4f}  jax-native R@1={rj['r_at_1']:.4f}",
+              flush=True)
     for side in results:
         r1 = [r["r_at_1"] for r in results[side]]
         summary[side] = {
             "r_at_1_mean": float(np.mean(r1)),
             "r_at_1_std": float(np.std(r1)),
         }
-    summary["delta_r_at_1"] = (
-        summary["jax"]["r_at_1_mean"] - summary["torch"]["r_at_1_mean"]
+    summary["architecture_win_vs_reference"] = (
+        summary["jax_native_init"]["r_at_1_mean"]
+        - summary["torch_reference_replica"]["r_at_1_mean"]
     )
-    # gate: JAX within 0.5% of torch, or better
-    summary["gate_within_0.5pct"] = bool(
-        summary["jax"]["r_at_1_mean"]
-        >= summary["torch"]["r_at_1_mean"] - 0.005
-    )
+
     os.makedirs("evidence", exist_ok=True)
     with open("evidence/parity_ab_flagship.json", "w") as f:
-        json.dump({"summary": summary, "results": results,
-                   "config": vars(args)}, f, indent=1)
+        json.dump({
+            "summary": summary,
+            "matched": {"torch_twin": twin_results,
+                        "jax_matched": matched_results},
+            "context": results,
+            "config": vars(args),
+        }, f, indent=1)
     print(json.dumps(summary, indent=1))
 
 

@@ -72,19 +72,24 @@ def main():
     cond = jax.random.normal(jax.random.PRNGKey(3), (cfg.projection.dim,))
     score_fn = make_clip_scorer(encode, cond)
 
-    run = jax.jit(lambda k: clip_guided_sample(
-        model, params, k, score_fn, B, length,
-        num_candidates=K, num_steps=steps))
-    toks, scores = run(jax.random.PRNGKey(0))  # compile + warmup
+    flatten = os.environ.get("GUIDED_FLATTEN", "1") == "1"
+    # params/scorer weights as runtime args, NOT jit-closure constants —
+    # closing over the 2.6GB 650M trunk bakes it into the lowered module
+    # (minutes-slow lowering + constant upload through the tunnel)
+    run = jax.jit(lambda k, p: clip_guided_sample(
+        model, p, k, score_fn, B, length,
+        num_candidates=K, num_steps=steps, flatten_chains=flatten))
+    toks, scores = run(jax.random.PRNGKey(0), params)  # compile + warmup
     float(jnp.sum(scores))
     t0 = time.perf_counter()
-    toks, scores = run(jax.random.PRNGKey(1))
+    toks, scores = run(jax.random.PRNGKey(1), params)
     assert bool(jnp.all(toks[:, 0] == 0))
     s = float(jnp.mean(scores))
     dt = time.perf_counter() - t0
 
     print(json.dumps({
         "metric": "clip_guided_dplm_650M",
+        "flatten_chains": flatten,
         "trunk_params": n_params,
         "batch": B, "candidates": K, "length": length,
         "diffusion_steps": steps,

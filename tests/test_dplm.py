@@ -154,6 +154,42 @@ def test_clip_guided_sample_picks_high_scores(rng):
     assert float(scores.mean()) >= 0.0
 
 
+def test_clip_guided_flatten_modes_agree(rng):
+    """flatten_chains=True (default, one K*B-row chain) and the vmapped
+    fallback satisfy the same contracts with PER-ROW conditioning: score_fn
+    and logit_bias_fn see (B, ...) arrays in both modes (under flattening
+    they are vmapped over chain views), rows are reranked per slot, and the
+    per-row guidance steers each row toward ITS OWN target residue."""
+    model = tiny_dplm()
+    toks, valid = _tokens(rng)
+    params = model.init(jax.random.PRNGKey(0), toks, valid)["params"]
+    B, K = 2, 3
+    targets = jnp.asarray(
+        [protein.TOKEN_TO_ID["A"], protein.TOKEN_TO_ID["G"]])  # per row
+
+    def score_fn(tokens):  # (B, S) -> (B,): count of the row's own target
+        assert tokens.shape[0] == B, tokens.shape
+        return (tokens == targets[:, None]).sum(-1).astype(jnp.float32)
+
+    def logit_bias_fn(tokens, logits):  # per-row bias toward targets[b]
+        assert tokens.shape[0] == B, tokens.shape
+        onehot = jax.nn.one_hot(targets, logits.shape[-1])  # (B, V)
+        return 50.0 * onehot[:, None, :]
+
+    for flatten in (True, False):
+        picked, scores = clip_guided_sample(
+            model, params, jax.random.PRNGKey(5), score_fn,
+            batch_size=B, length=8, num_candidates=K,
+            logit_bias_fn=logit_bias_fn, flatten_chains=flatten,
+        )
+        assert picked.shape == (B, 10)
+        np.testing.assert_array_equal(
+            np.asarray(scores), np.asarray(score_fn(picked)))
+        inner = np.asarray(picked)[:, 1:-1]
+        for b in range(B):  # row-b guidance floods row b with targets[b]
+            assert (inner[b] == int(targets[b])).mean() > 0.9, (flatten, b)
+
+
 def test_guided_sampling_with_logit_bias(rng):
     """Soft guidance: biasing logits toward glycine floods the output."""
     model = tiny_dplm()
