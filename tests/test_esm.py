@@ -80,7 +80,7 @@ def test_esm_block_packed_path_matches_split(monkeypatch, rope_kernel):
 
     monkeypatch.setenv("CLIP_DPLM_ROPE_KERNEL", rope_kernel)
     rng = np.random.default_rng(2)
-    B, S, D, H = 4, 64, 32, 4  # S >= 64 (packed-dispatch lower bound), Dh=8
+    B, S, D, H = 2, 64, 32, 4  # S >= 64 (packed-dispatch lower bound), Dh=8
     block = EsmBlock(d_model=D, num_heads=H, dtype=jnp.float32)
     x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
     mask = jnp.asarray(np.arange(S)[None, :] < rng.integers(40, S, B)[:, None])
@@ -93,7 +93,9 @@ def test_esm_block_packed_path_matches_split(monkeypatch, rope_kernel):
         return jnp.sum(out * w)
 
     monkeypatch.setenv("CLIP_DPLM_SHORT_ATTN", "0")
-    ref, ref_grad = jax.value_and_grad(loss)(params)
+    # fresh jit wrapper (env flag is baked at trace time; never share the
+    # cache across arms) — eager dispatch dominated this arm's runtime
+    ref, ref_grad = jax.jit(jax.value_and_grad(loss))(params)
 
     monkeypatch.setenv("CLIP_DPLM_SHORT_ATTN", "1")
     monkeypatch.setenv("CLIP_DPLM_SHORT_ATTN_G", "2")

@@ -243,17 +243,19 @@ def test_generation_api(rng):
     cfg = _tfm_cfg()
     model = TripleFlowModel(cfg=cfg)
     batch = _tfm_batch(rng)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)}, jax.random.PRNGKey(1), batch
+    variables = jax.jit(lambda k0, k1, b: model.init({"params": k0}, k1, b))(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(1), batch
     )
 
-    emb = model.apply(variables, batch, method=model.encode)["cell_emb"]
-    xf, traj = model.apply(
-        variables, emb, emb, method=model.generate_cell_trajectory
-    )
+    emb = jax.jit(
+        lambda v, b: model.apply(v, b, method=model.encode)
+    )(variables, batch)["cell_emb"]
+    xf, traj = jax.jit(
+        lambda v, e: model.apply(v, e, e, method=model.generate_cell_trajectory)
+    )(variables, emb)
     assert traj.shape[0] == 51 and traj.shape[1:] == emb.shape
-    xp, ptraj = model.apply(
-        variables, emb, method=model.generate_protein_from_cell
-    )
+    xp, ptraj = jax.jit(
+        lambda v, e: model.apply(v, e, method=model.generate_protein_from_cell)
+    )(variables, emb)
     assert xp.shape == emb.shape
     assert np.isfinite(np.asarray(ptraj)).all()

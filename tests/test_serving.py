@@ -115,12 +115,14 @@ def test_embed_service_matches_direct_forward():
     try:
         got = svc.embed(seqs, timeout=30)
         assert got.shape[0] == 3
-        for i, s in enumerate(seqs):
-            toks, mask = protein.tokenize_batch([s], pad_multiple=1)
-            want = np.asarray(tower.apply(
-                variables, jnp.asarray(toks), jnp.asarray(mask),
-                pooling="mean_residues"))[0]
-            np.testing.assert_allclose(got[i], want, rtol=2e-5, atol=2e-5)
+        # direct forward in ONE jitted batched call (mask-invariance of the
+        # tower is covered by test_esm; this test checks service == direct)
+        toks, mask = protein.tokenize_batch(seqs, pad_multiple=1)
+        want = np.asarray(jax.jit(
+            lambda t, m: tower.apply(variables, t, m,
+                                     pooling="mean_residues")
+        )(jnp.asarray(toks), jnp.asarray(mask)))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
     finally:
         svc.close()
 

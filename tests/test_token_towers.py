@@ -56,11 +56,14 @@ def test_tower_mask_invariance(rng):
     x = rng.normal(size=(2, 16, 24)).astype(np.float32)
     mask = np.zeros((2, 16), bool)
     mask[:, :10] = True
-    params = tower.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(mask))
-    out1 = tower.apply(params, jnp.asarray(x), jnp.asarray(mask))
+    m = jnp.asarray(mask)
+    params = jax.jit(
+        lambda k: tower.init(k, jnp.asarray(x), m))(jax.random.PRNGKey(0))
     x2 = x.copy()
     x2[:, 10:] = 99.0  # garbage in padded region
-    out2 = tower.apply(params, jnp.asarray(x2), jnp.asarray(mask))
+    apply = jax.jit(lambda p, xx: tower.apply(p, xx, m))
+    out1 = apply(params, jnp.asarray(x))
+    out2 = apply(params, jnp.asarray(x2))
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
 
 
@@ -145,18 +148,26 @@ def test_block_out_rows_is_exact_dce(rng):
                             dtype=jnp.float32)
     cut = TransformerBlock(d_model=32, num_heads=2, dropout=0.0,
                            dtype=jnp.float32, out_rows=1)
-    params = full.init(jax.random.PRNGKey(0), x, mask, deterministic=True)
+    params = jax.jit(
+        lambda k: full.init(k, x, mask, deterministic=True)
+    )(jax.random.PRNGKey(0))
+    ct = jnp.asarray(rng.normal(size=(2, 1, 32)).astype(np.float32))
 
-    ref = full.apply(params, x, mask, deterministic=True)[:, :1]
-    out = cut.apply(params, x, mask, deterministic=True)
+    # one jitted program for all four comparisons: eager dispatch on the
+    # 8-virtual-device backend costs ~30 ms/op and dominated this test
+    @jax.jit
+    def run(p):
+        ref = full.apply(p, x, mask, deterministic=True)[:, :1]
+        out = cut.apply(p, x, mask, deterministic=True)
+        g_ref = jax.grad(lambda q: jnp.sum(
+            full.apply(q, x, mask, deterministic=True)[:, :1] * ct))(p)
+        g_out = jax.grad(lambda q: jnp.sum(
+            cut.apply(q, x, mask, deterministic=True) * ct))(p)
+        return ref, out, g_ref, g_out
+
+    ref, out, g_ref, g_out = run(params)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
-
-    ct = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
-    g_ref = jax.grad(lambda p: jnp.sum(
-        full.apply(p, x, mask, deterministic=True)[:, :1] * ct))(params)
-    g_out = jax.grad(lambda p: jnp.sum(
-        cut.apply(p, x, mask, deterministic=True) * ct))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(g_out)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -174,21 +185,26 @@ def test_tower_cls_truncation_matches_full_compute(rng):
     tower = TokenTransformerTower(cfg=cfg, dtype=jnp.float32)
     x = jnp.asarray(rng.normal(size=(2, 16, 24)).astype(np.float32))
     mask = jnp.asarray(np.arange(16)[None, :] < np.array([[16], [11]]))
-    params = tower.init(jax.random.PRNGKey(0), x, mask)
-    out = tower.apply(params, x, mask)
+    params = jax.jit(lambda k: tower.init(k, x, mask))(jax.random.PRNGKey(0))
 
-    # hand-rolled full-sequence computation on the same params
-    p = params["params"]
-    h = nn.Dense(cfg.d_model, dtype=jnp.float32).apply(
-        {"params": p["input_proj"]}, x)
-    h = h + p["pos_embed"][:, :16]
-    cls = jnp.broadcast_to(p["cls_token"], (2, 1, cfg.d_model))
-    h = jnp.concatenate([cls, h], axis=1)
-    m = jnp.concatenate([jnp.ones((2, 1), bool), mask], axis=1)
-    for i in range(cfg.num_layers):
-        h = TransformerBlock(d_model=cfg.d_model, num_heads=cfg.num_heads,
-                             dropout=cfg.dropout, dtype=jnp.float32).apply(
-            {"params": p[f"block_{i}"]}, h, m, deterministic=True)
-    h = nn.LayerNorm(dtype=jnp.float32).apply({"params": p["final_ln"]}, h)
+    @jax.jit
+    def run(params):
+        out = tower.apply(params, x, mask)
+        # hand-rolled full-sequence computation on the same params
+        p = params["params"]
+        h = nn.Dense(cfg.d_model, dtype=jnp.float32).apply(
+            {"params": p["input_proj"]}, x)
+        h = h + p["pos_embed"][:, :16]
+        cls = jnp.broadcast_to(p["cls_token"], (2, 1, cfg.d_model))
+        h = jnp.concatenate([cls, h], axis=1)
+        m = jnp.concatenate([jnp.ones((2, 1), bool), mask], axis=1)
+        for i in range(cfg.num_layers):
+            h = TransformerBlock(d_model=cfg.d_model, num_heads=cfg.num_heads,
+                                 dropout=cfg.dropout, dtype=jnp.float32).apply(
+                {"params": p[f"block_{i}"]}, h, m, deterministic=True)
+        h = nn.LayerNorm(dtype=jnp.float32).apply({"params": p["final_ln"]}, h)
+        return out, h
+
+    out, h = run(params)
     np.testing.assert_allclose(np.asarray(out), np.asarray(h[:, 0]),
                                rtol=1e-5, atol=1e-6)
