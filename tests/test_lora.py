@@ -63,16 +63,18 @@ def test_init_matches_base_model(rng):
                                          lora_targets=ALL_TARGETS),
                           dtype=jnp.float32)
     base_tower = ESMTower(cfg=_tower_cfg(), dtype=jnp.float32)
-    params = lora_tower.init(jax.random.PRNGKey(0), toks)["params"]
+    params = jax.jit(
+        lambda k: lora_tower.init(k, toks)["params"])(jax.random.PRNGKey(0))
     assert has_lora_params(params)
     base, adapters = split_lora(params)
     assert not has_lora_params(base)
     # base tree structurally identical to the non-LoRA model's
-    ref = base_tower.init(jax.random.PRNGKey(0), toks)["params"]
+    ref = jax.jit(
+        lambda k: base_tower.init(k, toks)["params"])(jax.random.PRNGKey(0))
     assert jax.tree_util.tree_structure(base) == \
         jax.tree_util.tree_structure(ref)
-    out_lora = lora_tower.apply({"params": params}, toks)
-    out_base = base_tower.apply({"params": base}, toks)
+    out_lora = jax.jit(lambda p: lora_tower.apply({"params": p}, toks))(params)
+    out_base = jax.jit(lambda p: base_tower.apply({"params": p}, toks))(base)
     np.testing.assert_allclose(np.asarray(out_lora), np.asarray(out_base),
                                atol=1e-6)
 
@@ -81,7 +83,8 @@ def test_grads_flow_to_adapters_not_base(rng):
     toks = _tokens(rng)
     tower = ESMTower(cfg=_tower_cfg(lora_rank=4, lora_targets=ALL_TARGETS),
                      dtype=jnp.float32)
-    params = tower.init(jax.random.PRNGKey(1), toks)["params"]
+    params = jax.jit(
+        lambda k: tower.init(k, toks)["params"])(jax.random.PRNGKey(1))
 
     # give the adapters nonzero b so dL/da is nonzero too
     def bump(path, leaf):
@@ -95,7 +98,7 @@ def test_grads_flow_to_adapters_not_base(rng):
         return jnp.sum(tower.apply({"params": p}, toks,
                                    pooling="mean_residues") ** 2)
 
-    grads = jax.grad(loss)(params)
+    grads = jax.jit(jax.grad(loss))(params)
     blk = grads["layer_0"]
     # frozen base: stop_gradient at use — exactly zero
     assert float(jnp.abs(blk["q"]["kernel"]).max()) == 0.0
@@ -112,7 +115,8 @@ def test_optimizer_freezes_base_and_masks_moments(rng):
 
     toks = _tokens(rng)
     tower = ESMTower(cfg=_tower_cfg(lora_rank=2), dtype=jnp.float32)
-    tp = tower.init(jax.random.PRNGKey(2), toks)["params"]
+    tp = jax.jit(
+        lambda k: tower.init(k, toks)["params"])(jax.random.PRNGKey(2))
     params = {"esm_tower": tp,
               "head": {"kernel": jnp.ones((64, 8), jnp.float32)}}
     cfg = apply_overrides(Config(), ["train.optim.warmup_steps=0"])
@@ -130,7 +134,7 @@ def test_optimizer_freezes_base_and_masks_moments(rng):
     assert n_m == len(trainable) < n_params
 
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
-    updates, _ = tx.update(grads, opt_state, params)
+    updates, _ = jax.jit(tx.update)(grads, opt_state, params)
     frozen_moved = [
         p for p, u in _leaf_paths(updates)
         if p[0] == "esm_tower" and not is_lora_path(p)
@@ -156,7 +160,8 @@ def test_merge_matches_adapted_forward(rng):
     spec_cfg = _tower_cfg(lora_rank=4, lora_alpha=6.0,
                           lora_targets=ALL_TARGETS)
     tower = ESMTower(cfg=spec_cfg, dtype=jnp.float32)
-    params = tower.init(jax.random.PRNGKey(3), toks)["params"]
+    params = jax.jit(
+        lambda k: tower.init(k, toks)["params"])(jax.random.PRNGKey(3))
 
     key = jax.random.PRNGKey(4)
 
@@ -168,19 +173,20 @@ def test_merge_matches_adapted_forward(rng):
         return leaf
 
     params = jax.tree_util.tree_map_with_path(randomize, params)
-    adapted = tower.apply({"params": params}, toks, pooling="mean_residues")
+    adapted = jax.jit(lambda p: tower.apply(
+        {"params": p}, toks, pooling="mean_residues"))(params)
 
     merged = merge_lora(params, spec_from(spec_cfg))
     assert not has_lora_params(merged)
     base_tower = ESMTower(cfg=_tower_cfg(), dtype=jnp.float32)
-    merged_out = base_tower.apply({"params": merged}, toks,
-                                  pooling="mean_residues")
+    base_apply = jax.jit(lambda p: base_tower.apply(
+        {"params": p}, toks, pooling="mean_residues"))
+    merged_out = base_apply(merged)
     np.testing.assert_allclose(np.asarray(adapted), np.asarray(merged_out),
                                rtol=1e-4, atol=1e-5)
     # adapters changed the function (the A/B above are nonzero)
     base_only, _ = split_lora(params)
-    plain = base_tower.apply({"params": base_only}, toks,
-                             pooling="mean_residues")
+    plain = base_apply(base_only)
     assert float(jnp.abs(plain - adapted).max()) > 1e-4
 
 
@@ -221,8 +227,10 @@ def test_dplm_lora_train_state(rng):
         logits = model.apply({"params": p}, batch["tokens"], batch["mask"])
         return jnp.mean(logits ** 2)
 
-    grads = jax.grad(loss_fn)(state.params)
-    new_state = state.apply_gradients(grads)
+    def one_step(st):
+        return st.apply_gradients(jax.grad(loss_fn)(st.params))
+
+    new_state = jax.jit(one_step)(state)
     moved, still = [], []
     for path, (old, new) in _zip_leaves(state.params, new_state.params):
         changed = bool(jnp.any(old != new))
@@ -268,8 +276,8 @@ def test_dplm_lora_with_scan_layers(rng):
         logits = model.apply({"params": p}, batch["tokens"], batch["mask"])
         return jnp.mean(logits ** 2)
 
-    grads = jax.grad(loss_fn)(state.params)
-    new_state = state.apply_gradients(grads)
+    new_state = jax.jit(
+        lambda st: st.apply_gradients(jax.grad(loss_fn)(st.params)))(state)
     old_blk = state.params["layers"]["block"]
     new_blk = new_state.params["layers"]["block"]
     assert bool(jnp.all(old_blk["q"]["kernel"] == new_blk["q"]["kernel"]))

@@ -122,9 +122,10 @@ def test_pipelined_esm_apply_matches_tower(rng):
     toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 
     tower = ESMTower(cfg=cfg, dtype=jnp.float32)
-    params = tower.init(jax.random.key(0), toks, mask)["params"]
-    want = tower.apply({"params": params}, toks, mask,
-                       pooling="mean_residues")
+    params = jax.jit(
+        lambda k: tower.init(k, toks, mask)["params"])(jax.random.key(0))
+    want = jax.jit(lambda p: tower.apply(
+        {"params": p}, toks, mask, pooling="mean_residues"))(params)
 
     mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
     got = pipelined_esm_apply(
@@ -150,19 +151,20 @@ def test_pipelined_esm_tower_wrapper(rng):
     toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 
     tower = ESMTower(cfg=cfg, dtype=jnp.float32)
-    params = tower.init(jax.random.key(0), toks, mask)["params"]
-    want = tower.apply({"params": params}, toks, mask,
-                       pooling="mean_residues")
+    params = jax.jit(
+        lambda k: tower.init(k, toks, mask)["params"])(jax.random.key(0))
+    want = jax.jit(lambda p: tower.apply(
+        {"params": p}, toks, mask, pooling="mean_residues"))(params)
 
     mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
     ptower = PipelinedESMTower(cfg, mesh=mesh, pipe_axis="pipe",
                                dtype=jnp.float32)
     # checkpoint interchangeability: init produces the SAME tree as ESMTower
-    pvars = ptower.init(jax.random.key(0), toks, mask)
+    pvars = jax.jit(lambda k: ptower.init(k, toks, mask))(jax.random.key(0))
     assert (jax.tree_util.tree_structure(pvars["params"])
             == jax.tree_util.tree_structure(params))
-    got = ptower.apply({"params": params}, toks, mask,
-                       pooling="mean_residues")
+    got = jax.jit(lambda p: ptower.apply(
+        {"params": p}, toks, mask, pooling="mean_residues"))(params)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
 

@@ -67,7 +67,7 @@ def test_gradients_match_reference(rng, layout):
             q, k, v, heads, mask=mask, block_b=2, layout=layout,
             save_probs=False, interpret=True) * w))
 
-    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.jit(jax.grad(ref, argnums=(0, 1, 2)))(q, k, v)
     with pltpu.force_tpu_interpret_mode():
         g_fused = jax.grad(fused, argnums=(0, 1, 2))(q, k, v)
     for gr, gf, name in zip(g_ref, g_fused, ["dq", "dk", "dv"]):
@@ -154,7 +154,7 @@ def test_packed_qkv_proj_matches_reference(rng):
             qkv, wo, bo, heads, mask=mask, block_b=2, save_probs=False,
             interpret=True) * w))
 
-    l_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1, 2))(qkv, wo, bo)
+    l_ref, g_ref = jax.jit(jax.value_and_grad(ref, argnums=(0, 1, 2)))(qkv, wo, bo)
     with pltpu.force_tpu_interpret_mode():
         l_f, g_f = jax.value_and_grad(fused, argnums=(0, 1, 2))(qkv, wo, bo)
     np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
@@ -201,7 +201,7 @@ def test_packed_qkv_proj_rope_matches_xla_rotary(rng):
                                       mask=mask)
         return jnp.sum(jnp.sin((o @ wo + bo) * w))
 
-    l_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1, 2))(qkv, wo, bo)
+    l_ref, g_ref = jax.jit(jax.value_and_grad(ref, argnums=(0, 1, 2)))(qkv, wo, bo)
 
     # primal (inference) path with rope: emit_o=False — o lives in a VMEM
     # scratch, probs never exists; this path only runs OUTSIDE of grad
@@ -366,15 +366,16 @@ def test_cls_attention_matches_reference(rng):
     ct = jnp.asarray(rng.normal(size=(B, 1, D)).astype(np.float32))
 
     for m in (None, mask):
-        want = cls_query_attention(qkv, heads, mask=m)  # XLA formulation
+        want = jax.jit(lambda x: cls_query_attention(
+            x, heads, mask=m))(qkv)  # XLA formulation
         with pltpu.force_tpu_interpret_mode():
             got = fused_cls_attention(qkv, heads, mask=m, block_b=2,
                                       interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5, rtol=1e-4)
 
-        g_ref = jax.grad(lambda x: jnp.sum(
-            cls_query_attention(x, heads, mask=m) * ct))(qkv)
+        g_ref = jax.jit(jax.grad(lambda x: jnp.sum(
+            cls_query_attention(x, heads, mask=m) * ct)))(qkv)
         with pltpu.force_tpu_interpret_mode():
             g_got = jax.grad(lambda x: jnp.sum(fused_cls_attention(
                 x, heads, mask=m, block_b=2, interpret=True) * ct))(qkv)

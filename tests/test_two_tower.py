@@ -52,7 +52,8 @@ def test_init_and_forward():
     model = TwoTowerCLIP(cfg=cfg)
     batch = _strip_labels(make_batch(cfg))
     state = create_train_state(model, cfg, batch)
-    out = model.apply({"params": state.params}, batch, deterministic=True)
+    out = jax.jit(lambda p: model.apply(
+        {"params": p}, batch, deterministic=True))(state.params)
     assert out["emb_a"].shape == (32, cfg.projection.dim)
     assert out["emb_b"].shape == (32, cfg.projection.dim)
     assert out["emb_a"].dtype == jnp.float32
