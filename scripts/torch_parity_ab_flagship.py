@@ -59,19 +59,26 @@ S_A, S_B = 24, 32              # padded sequence lengths
 D_MODEL, LAYERS, HEADS = 64, 2, 4
 PROJ = 64
 BS, LR, WD = 32, 1e-4, 0.01
+# Task difficulty. Per-token noise is averaged away by pooling (÷sqrt(len)),
+# so it must be LARGE for best-epoch R@1 to sit mid-range: at the round-3
+# settings (0.6, then 1.2) both arms saturated ≥0.98 within 2 epochs and the
+# paired delta was ceiling-clipped — a vacuous gate. Calibrated (measured:
+# 3.0 → best 0.47 still climbing; 2.5 → best ~0.61, plateaued by epoch 11)
+# so the best epoch lands ~0.6 over the 360-item val gallery (R@1 quantum
+# 1/360 = 0.28% per retrieval flip).
+NOISE = float(os.environ.get("CLIP_DPLM_AB_NOISE", "2.5"))
+N_SAMPLES, CUT = 1500, 0.76    # 1140 train / 360 val
 
 
 def make_data(seed: int):
     from clip_dplm_tpu.data.collate import TokenPairDataset
 
     ds = TokenPairDataset.synthetic(
-        1200, dim_a=DIM_A, dim_b=DIM_B,
+        N_SAMPLES, dim_a=DIM_A, dim_b=DIM_B,
         len_range_a=(6, S_A), len_range_b=(8, S_B),
-        # noise 1.2 keeps best-epoch R@1 off the ~0.99 ceiling the round-3
-        # setting (0.6) saturated at, so paired deltas stay discriminative
-        latent_dim=8, noise=1.2, seed=seed,
+        latent_dim=8, noise=NOISE, seed=seed,
     )
-    cut = int(len(ds) * 0.85)
+    cut = int(len(ds) * CUT)
     tr = TokenPairDataset(ds.seqs_a[:cut], ds.seqs_b[:cut])
     va = TokenPairDataset(ds.seqs_a[cut:], ds.seqs_b[cut:])
     return tr, va
@@ -489,7 +496,14 @@ def main():
     from torch_parity_ab import paired_delta_stats  # same stats discipline
 
     # --- matched-init framework gate (paired seeds) -----------------------
-    twin_results, matched_results, deltas = [], [], []
+    # Two paired statistics per seed:
+    #   * best-epoch R@1 delta (best-checkpoint protocol) — a MAX over a
+    #     noisy curve, so its per-seed variance is inflated by dropout RNG
+    #     (unpairable across frameworks) and trajectory divergence;
+    #   * plateau R@1 delta (mean of the last 5 epochs) — the "converged
+    #     R@1" the BASELINE gate describes; smoother, same systematic part.
+    plateau_k = 5
+    twin_results, matched_results, deltas, deltas_plateau = [], [], [], []
     for seed in range(args.seeds):
         tr, va = make_data(seed)
         t0 = time.time()
@@ -506,11 +520,14 @@ def main():
         twin_results.append(tw)
         matched_results.append(jm)
         deltas.append(jm["r_at_1_best"] - tw["r_at_1_best"])
+        deltas_plateau.append(
+            float(np.mean(jm["r_at_1_per_epoch"][-plateau_k:]))
+            - float(np.mean(tw["r_at_1_per_epoch"][-plateau_k:])))
         print(
             f"seed {seed}: twin-torch best R@1={tw['r_at_1_best']:.4f} "
             f"({t1 - t0:.0f}s)  jax matched best R@1="
             f"{jm['r_at_1_best']:.4f} ({t2 - t1:.0f}s)  "
-            f"delta={deltas[-1]:+.4f}",
+            f"delta={deltas[-1]:+.4f}  plateau_delta={deltas_plateau[-1]:+.4f}",
             flush=True,
         )
 
@@ -528,6 +545,7 @@ def main():
                 [r["r_at_1_best"] for r in matched_results], ddof=1)),
         },
         "paired_matched_init_best": paired_delta_stats(deltas),
+        "paired_matched_init_plateau5": paired_delta_stats(deltas_plateau),
     }
 
     # --- architecture context (the round-3 comparison, unpaired inits) ----

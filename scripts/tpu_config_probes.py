@@ -47,13 +47,13 @@ def timed(fn, *args, iters):
     return (time.perf_counter() - t0) / iters, compile_s
 
 
-def probe_tf_clip() -> dict:
+def tf_clip_fixture(B: int, overrides=()):
+    """Model + train state + a realistic padded batch at scale B (shared by
+    the probe below and scripts/tpu_flagship_trace.py's tf_clip builder)."""
     from clip_dplm_tpu.config import Config, apply_overrides
     from clip_dplm_tpu.models.tf_clip import TFContrastiveModel
-    from clip_dplm_tpu.train import create_train_state, make_train_step
+    from clip_dplm_tpu.train import create_train_state
 
-    B = int(os.environ.get("PROBE_TF_B", 4096))
-    iters = int(os.environ.get("PROBE_ITERS", 10))
     cfg = apply_overrides(
         Config(),
         [
@@ -63,7 +63,7 @@ def probe_tf_clip() -> dict:
             "train.optim.total_steps=1000",
             "train.rng_impl=unsafe_rbg",
             "contrastive.use_fused_kernel=true",
-        ],
+        ] + list(overrides),
     )
     enc = cfg.encoders
     rng = np.random.default_rng(0)
@@ -88,6 +88,15 @@ def probe_tf_clip() -> dict:
     }
     model = TFContrastiveModel(cfg=cfg)
     state = create_train_state(model, cfg, batch)
+    return cfg, model, state, batch
+
+
+def probe_tf_clip() -> dict:
+    from clip_dplm_tpu.train import make_train_step
+
+    B = int(os.environ.get("PROBE_TF_B", 4096))
+    iters = int(os.environ.get("PROBE_ITERS", 10))
+    cfg, model, state, batch = tf_clip_fixture(B)
     step = make_train_step(cfg)
 
     @jax.jit

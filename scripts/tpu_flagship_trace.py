@@ -110,6 +110,43 @@ def build_dplm(what: str, iters: int, overrides=()):
     return run, (key,)
 
 
+def build_tf_clip(what: str, iters: int, overrides=()):
+    """TRACE_MODEL=tf_clip: the 3-way contrastive train step at the probe
+    geometry (scripts/tpu_config_probes.py fixture, PROBE_TF_B rows)."""
+    from tpu_config_probes import tf_clip_fixture
+
+    from clip_dplm_tpu.train import make_train_step
+
+    B = int(os.environ.get("PROBE_TF_B", 4096))
+    cfg, model, state, batch = tf_clip_fixture(B, overrides)
+
+    if what == "full":
+        step = make_train_step(cfg)
+
+        @jax.jit
+        def run(state, batch):
+            def body(s, _):
+                s, m = step(s, batch)
+                return s, m["loss"]
+            state, losses = jax.lax.scan(body, state, None, length=iters)
+            return losses[-1]
+
+        return run, (state, batch)
+
+    @jax.jit
+    def run(params, b):
+        def body(c, _):
+            out = model.apply(
+                {"params": params},
+                {**b, "cell_state": b["cell_state"] + 1e-9 * c},
+                deterministic=True)
+            return jnp.sum(out["cell_embed"]).astype(jnp.float32) * 1e-9, ()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    return run, (state.params, batch)
+
+
 def build(what: str, iters: int, overrides=()):
     from clip_dplm_tpu.config import Config, apply_overrides
     from clip_dplm_tpu.models.token_towers import RNARBPCLIP
@@ -206,7 +243,8 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 20))
     topk = int(os.environ.get("TRACE_TOPK", 40))
     overrides = [o for o in os.environ.get("BENCH_OVERRIDES", "").split(",") if o]
-    builder = {"two_tower": build_two_tower, "dplm": build_dplm}.get(
+    builder = {"two_tower": build_two_tower, "dplm": build_dplm,
+               "tf_clip": build_tf_clip}.get(
         os.environ.get("TRACE_MODEL", ""), build)
     run, args = builder(what, iters, overrides)
 
