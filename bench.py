@@ -1,18 +1,33 @@
 """Headline benchmark: contrastive pairs/sec/chip on the two-tower CLIP train
 step (BASELINE.json north star). Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "model_tflops_per_s_per_chip": N, "mfu": N, "peak_bf16_tflops": N,
+   "certificate": "BASELINE.md ..."}
 
 vs_baseline = achieved model FLOP/s / (0.95 * chip peak bf16 FLOP/s), i.e.
 1.0 == the >=95%-of-roofline target. Model FLOPs are counted analytically
-(fwd+bwd ~= 3x fwd) for the exact step being run.
+(fwd+bwd ~= 3x fwd) for the exact step being run. `mfu` is the same FLOP/s
+over the raw peak (standard MFU), and `certificate` names the floor
+accounting that certifies the measured wall (VERDICT r4 item 6).
 """
 
 from __future__ import annotations
 
 import json
+import os as _os
 import time
 
 import jax
+
+# The sitecustomize preload registers the axon backend at interpreter start
+# and pins JAX_PLATFORMS=axon; a JAX_PLATFORMS=cpu env var on a child
+# process is IGNORED (measured: the child still reports the tpu backend).
+# The only reliable override is the in-process config update before any
+# backend init (tests/conftest.py pattern) — without this, the "CPU" bench
+# contract tests silently ran over the TPU tunnel and hung with it.
+if _os.environ.get("BENCH_FORCE_PLATFORM"):
+    jax.config.update("jax_platforms", _os.environ["BENCH_FORCE_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,6 +85,33 @@ def chip_peak_flops() -> float:
         if key in kind:
             return val
     return 197e12
+
+
+def bench_payload(metric: str, value: float, unit: str,
+                  model_flops_per_step: float, dt: float,
+                  n_chips: int) -> dict:
+    """The one-line JSON contract, self-certifying (VERDICT r4 item 6).
+
+    vs_baseline charges the whole step against 0.95x the chip's bf16 matmul
+    peak, which makes the certified walls (~0.75) look like failures without
+    context. Alongside it we emit the achieved model TF/s and the honest MFU
+    (model FLOP/s over the raw chip peak — the standard framing, which for
+    the two-tower step equals executed-FLOP utilization: the fused loss does
+    exactly the credited 6B^2d and the fused dense blocks exactly their
+    matmuls, BASELINE.md). `certificate` points at the floor accounting +
+    recorded dead ends that certify the wall."""
+    peak = chip_peak_flops()
+    fps = model_flops_per_step / dt / n_chips
+    return {
+        "metric": metric,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": round(fps / (0.95 * peak), 4),
+        "model_tflops_per_s_per_chip": round(fps / 1e12, 2),
+        "mfu": round(fps / peak, 4),
+        "peak_bf16_tflops": round(peak / 1e12, 1),
+        "certificate": "BASELINE.md (certified wall: floor accounting + recorded dead ends)",
+    }
 
 
 def two_tower_step_flops(cfg, batch: int) -> float:
@@ -194,18 +236,9 @@ def run_flagship(iters_env: str = "BENCH_ITERS") -> None:
     dt = (time.perf_counter() - t0) / iters
 
     n_chips = max(1, len(jax.devices()))
-    flops_per_sec = token_clip_step_flops(cfg, B, sa, sb) / dt / n_chips
-    roofline = 0.95 * chip_peak_flops()
-    print(
-        json.dumps(
-            {
-                "metric": "rna_rbp_pairs_per_sec_per_chip",
-                "value": round(B / dt / n_chips, 2),
-                "unit": "pairs/s/chip",
-                "vs_baseline": round(flops_per_sec / roofline, 4),
-            }
-        )
-    )
+    print(json.dumps(bench_payload(
+        "rna_rbp_pairs_per_sec_per_chip", round(B / dt / n_chips, 2),
+        "pairs/s/chip", token_clip_step_flops(cfg, B, sa, sb), dt, n_chips)))
 
 
 def _extra_overrides():
@@ -297,19 +330,9 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
 
     n_chips = max(1, len(jax.devices()))
-    pairs_per_sec_chip = B / dt / n_chips
-    flops_per_sec = two_tower_step_flops(cfg, B) / dt / n_chips
-    roofline = 0.95 * chip_peak_flops()
-    print(
-        json.dumps(
-            {
-                "metric": "contrastive_pairs_per_sec_per_chip",
-                "value": round(pairs_per_sec_chip, 2),
-                "unit": "pairs/s/chip",
-                "vs_baseline": round(flops_per_sec / roofline, 4),
-            }
-        )
-    )
+    print(json.dumps(bench_payload(
+        "contrastive_pairs_per_sec_per_chip", round(B / dt / n_chips, 2),
+        "pairs/s/chip", two_tower_step_flops(cfg, B), dt, n_chips)))
 
 
 def _self_watchdog() -> int:

@@ -31,6 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bench import _enable_compile_cache  # repo-local persistent XLA cache
+
+_enable_compile_cache()
+
 EVIDENCE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "evidence")
 

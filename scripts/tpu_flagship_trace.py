@@ -23,6 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bench import _enable_compile_cache  # repo-local persistent XLA cache
+
+_enable_compile_cache()
+
 
 def build_two_tower(what: str, iters: int, overrides=()):
     """TRACE_MODEL=two_tower: the headline bench step (bench.py config)."""

@@ -21,10 +21,14 @@ def _run_bench(extra_env):
     env = dict(os.environ)
     env.update(
         {
-            # set BEFORE the interpreter starts, so the preloaded jax reads
-            # it at backend init (in-process overrides are too late; see
-            # tests/conftest.py)
+            # the env var alone is NOT enough: the sitecustomize preload
+            # registers the axon backend before bench.py runs and the child
+            # keeps the tpu backend regardless of JAX_PLATFORMS (measured,
+            # r5) — these tests then silently depended on a healthy TPU
+            # tunnel. BENCH_FORCE_PLATFORM makes bench.py apply the
+            # in-process config override (the only mechanism that works).
             "JAX_PLATFORMS": "cpu",
+            "BENCH_FORCE_PLATFORM": "cpu",
             "BENCH_NO_WATCHDOG": "1",
             "BENCH_ITERS": "2",
         }
@@ -39,9 +43,14 @@ def _run_bench(extra_env):
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
     assert len(lines) == 1, f"stdout must be ONE JSON line, got: {lines!r}"
     payload = json.loads(lines[0])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    # the driver reads the four original keys; the self-certifying extras
+    # (r5) ride alongside so the number stands alone without BASELINE.md
+    assert set(payload) >= {"metric", "value", "unit", "vs_baseline"}
     assert payload["value"] > 0
     assert payload["vs_baseline"] > 0
+    assert payload["mfu"] > 0
+    assert payload["model_tflops_per_s_per_chip"] > 0
+    assert "BASELINE.md" in payload["certificate"]
     return payload
 
 
