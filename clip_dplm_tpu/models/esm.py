@@ -520,6 +520,84 @@ def make_pipelined_esm_fn(
     return fn
 
 
+def make_pipelined_esm_train_fwd(
+    cfg: ESMConfig,
+    *,
+    mesh,
+    pipe_axis: str = "model",
+    data_axis: Optional[str] = None,
+    num_microbatches: Optional[int] = None,
+    pooling: str = "mean_residues",
+    dtype: Any = jnp.bfloat16,
+    param_dtype: Any = jnp.float32,
+):
+    """DIFFERENTIABLE pipelined ESM forward: (params, tokens, mask) -> pooled.
+
+    Unlike `make_pipelined_esm_fn` (inference path: params baked into the
+    shard_map closure), here the params enter the shard_map as arguments, so
+    `jax.grad` transposes the whole pipeline — the backward schedule is the
+    reversed ppermute ring — and gradients come back on the ORDINARY
+    ESMTower param tree (layer_i scopes): checkpoints, the HF converter and
+    the TP sharding rule stay layout-independent. The layer stack is rebuilt
+    per call with `stack_layer_params` (a differentiable jnp.stack); a
+    production 3B+ deployment would keep params permanently stacked and
+    sharded instead — at train-step scale the restack is one fused gather.
+
+    With `data_axis`, tokens/mask/pooled are sharded over it: dp x pp in ONE
+    program (each data-shard streams its local microbatches through the
+    pipe-axis ring independently). Used by the composed dp x tp x pp train
+    step (parallel/composed.py) and its gradient-parity test.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from clip_dplm_tpu.models.lora import spec_from
+    from clip_dplm_tpu.parallel.pipeline import (
+        pipeline_apply,
+        stack_layer_params,
+    )
+
+    tower = ESMTower(cfg=cfg, dtype=dtype, param_dtype=param_dtype)
+    block_mod = EsmBlock(
+        d_model=cfg.d_model, num_heads=cfg.num_heads,
+        ln_eps=cfg.layer_norm_eps, dtype=dtype, param_dtype=param_dtype,
+        lora=spec_from(cfg))
+    n_stages = mesh.shape[pipe_axis]
+    M = num_microbatches or n_stages
+    dspec = P(data_axis) if data_axis else P()
+
+    def block_fn(p_i, carry):
+        h, m, pos = carry
+        return (block_mod.apply({"params": p_i}, h, m, pos), m, pos)
+
+    def inner(rest, stacked_l, toks_r, mask_r):
+        B = toks_r.shape[0]
+        h, m2, pos = tower.apply(
+            {"params": rest}, toks_r, mask_r, method="embed")
+        resh = lambda x: x.reshape((M, B // M) + x.shape[1:])
+        x_micro = (resh(h), resh(m2),
+                   jnp.broadcast_to(pos, (M,) + pos.shape))
+        ys = pipeline_apply(block_fn, stacked_l, x_micro, axis_name=pipe_axis)
+        h_out = ys[0].reshape((B,) + ys[0].shape[2:])
+        return tower.apply(
+            {"params": rest}, h_out, toks_r, mask_r, pooling, method="head")
+
+    smapped = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(), P(pipe_axis), dspec, dspec),
+        out_specs=dspec, check_vma=False,
+    )
+
+    def fwd(params, tokens: jax.Array, mask: Optional[jax.Array] = None):
+        if mask is None:
+            mask = tokens != ESMTower.PAD_IDX
+        rest = {k: v for k, v in params.items()
+                if not k.startswith("layer_")}
+        stacked = stack_layer_params(params, cfg.num_layers)
+        return smapped(rest, stacked, tokens, mask)
+
+    return fwd
+
+
 def pipelined_esm_apply(
     cfg: ESMConfig,
     params,
