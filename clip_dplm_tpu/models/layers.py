@@ -257,7 +257,9 @@ class TransformerBlock(nn.Module):
             cls_query_attention,
             multihead_attention,
             packed_qkv_attention_proj,
+            packed_tiny_attention_proj,
             short_attn_packed_ok,
+            tiny_attn_ok,
         )
 
         h = nn.LayerNorm(dtype=self.ln_dtype, param_dtype=self.param_dtype,
@@ -280,6 +282,17 @@ class TransformerBlock(nn.Module):
             wo, bo = dp(self.d_model)
             attn = packed_qkv_attention_proj(qkv, wo, bo, self.num_heads,
                                              mask=mask)
+            if self.out_rows is not None:
+                attn = attn[:, :self.out_rows]
+        elif tiny_attn_ok(qkv.shape, self.num_heads, mask):
+            # tiny-S path (S < 64, e.g. the tf_clip perturbation tower's 10
+            # DEG tokens): packed-diagonal kernel — P samples share one
+            # MXU-shaped score dot per head under a block-diagonal bias
+            dp = _DenseParams(features=self.d_model,
+                              param_dtype=self.param_dtype, name="out_proj")
+            wo, bo = dp(self.d_model)
+            attn = packed_tiny_attention_proj(qkv, wo, bo, self.num_heads,
+                                              mask=mask)
             if self.out_rows is not None:
                 attn = attn[:, :self.out_rows]
         else:

@@ -120,7 +120,7 @@ def attention_dispatch(
         and _on_tpu()
         and _short_attn_enabled()
         and qh.shape == kh.shape == vh.shape
-        and 64 <= seq_k < _flash_min_seq()
+        and _short_attn_min_seq() <= seq_k < _flash_min_seq()
         and qh.shape[-1] % 8 == 0
         and (mask is None or mask.ndim == 2)
     ):
@@ -143,6 +143,65 @@ def _short_attn_enabled() -> bool:
     return os.environ.get("CLIP_DPLM_SHORT_ATTN", "1") == "1"
 
 
+def _short_attn_min_seq() -> int:
+    """Lower sequence bound for the short-S kernel (default 64, measured).
+
+    Tiny S is supported by the kernel since r5 (S pads to the 16-row
+    sublane tile, ops/short_attention.py::_seq_pad) but stays OFF by
+    default: at the tf_clip perturbation-tower shape (B=4096, S=10,
+    D=512) routing the per-head loop kernel there measured 82.8 vs 70.2
+    ms on the full 3-way step — G x H tiny (16,64)x(64,16) dots are MXU
+    instruction-bound (r5 A/B, RESULTS.md dead end). Override with
+    CLIP_DPLM_SHORT_ATTN_MIN_SEQ for shape experiments."""
+    import os
+
+    try:
+        return int(os.environ.get("CLIP_DPLM_SHORT_ATTN_MIN_SEQ", 64))
+    except ValueError:  # pragma: no cover
+        return 64
+
+
+def _tiny_attn_enabled() -> bool:
+    """Packed-diagonal tiny-S attention kernel (S < 64):
+    ops/short_attention.py::fused_tiny_attention_proj. CLIP_DPLM_TINY_ATTN=0
+    opts out (falls back to XLA's batched formulation)."""
+    import os
+
+    return os.environ.get("CLIP_DPLM_TINY_ATTN", "1") == "1"
+
+
+def tiny_attn_ok(qkv_shape, num_heads: int, mask) -> bool:
+    """True when the packed-diagonal tiny-S kernel handles this (B, S, 3D)
+    shape: 2 <= S < 64 (S=1 attention is a trivial XLA fusion; >= 64 is the
+    per-head short-S kernel's regime)."""
+    S, D3 = qkv_shape[1], qkv_shape[2]
+    if D3 % 3:
+        return False
+    D = D3 // 3
+    return (
+        _on_tpu()
+        and _tiny_attn_enabled()
+        and 2 <= S < 64
+        and D % num_heads == 0
+        and (D // num_heads) % 8 == 0
+        and (mask is None or mask.ndim == 2)
+    )
+
+
+def packed_tiny_attention_proj(
+    qkv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Tiny-S packed attention with the out-projection fused (caller must
+    have checked tiny_attn_ok)."""
+    from clip_dplm_tpu.ops.short_attention import fused_tiny_attention_proj
+
+    return fused_tiny_attention_proj(qkv, wo, bo, num_heads, mask=mask)
+
+
 def short_attn_packed_ok(qkv_shape, num_heads: int, mask) -> bool:
     """True when the packed short-S kernel handles this (B, S, 3D) shape."""
     S, D3 = qkv_shape[1], qkv_shape[2]
@@ -152,7 +211,7 @@ def short_attn_packed_ok(qkv_shape, num_heads: int, mask) -> bool:
     return (
         _on_tpu()
         and _short_attn_enabled()
-        and 64 <= S < _flash_min_seq()
+        and _short_attn_min_seq() <= S < _flash_min_seq()
         and D % num_heads == 0
         and (D // num_heads) % 8 == 0
         and (mask is None or mask.ndim == 2)
@@ -254,7 +313,7 @@ def multihead_attention(
         and _on_tpu()
         and _short_attn_enabled()
         and q.shape == k.shape == v.shape
-        and 64 <= S < _flash_min_seq()  # pads S to 128; tiny S stays on XLA
+        and _short_attn_min_seq() <= S < _flash_min_seq()  # pads S to 128; tiny S stays on XLA
         and D % num_heads == 0
         and (D // num_heads) % 8 == 0
         and (mask is None or mask.ndim == 2)

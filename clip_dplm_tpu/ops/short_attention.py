@@ -65,6 +65,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _seq_pad(S: int) -> int:
+    """Padded sequence length. At the measured >=64 regime S rounds to 128
+    (the original design point). Below it, round to the bf16 sublane tile
+    (16): a 10-token sequence (the tf_clip perturbation tower's top-DEG
+    tokens, tf nb cell 41) pads 10 -> 16 (1.6x) instead of 10 -> 128
+    (12.8x). NOTE: tiny-S support is correct (parity tests) but the
+    per-head-loop kernels LOSE to XLA there (G x H tiny dots are MXU
+    instruction-bound; measured 82.8 vs 70.2 ms on the tf_clip step, r5
+    dead end) — the dispatch default keeps tiny S on XLA
+    (ops/attention.py::_short_attn_min_seq)."""
+    return _round_up(S, 128) if S >= 64 else max(16, _round_up(S, 16))
+
+
+def _rows_per_program(block_b: int, B: int, Sp: int) -> int:
+    """Rows per program, scaled up for short padded lengths so per-program
+    work stays amortized (each program runs G x H head bodies of (Sp, Sp)
+    math; at Sp=16 a G=8 program would be ~64x smaller than at Sp=128)."""
+    g = block_b * max(1, 128 // Sp)
+    return max(1, min(g, B))
+
+
 # ---------------------------------------------------------------------------
 # kernels (layout-generic: refs are (G, S, D) for 'bsd', (G, H, S, Dh) for
 # 'bhsd'; bias is (G, 1, S) either way)
@@ -701,11 +722,11 @@ def fused_short_attention_qkv(
         raise ValueError(f"in-kernel RoPE needs even Dh, got {Dh}")
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
-    Sp = _round_up(S, 128)
-    # clamp the rows-per-program to the actual batch: small-batch callers
-    # (B=1 scoring through attention_dispatch) would otherwise pad to
-    # block_b rows and compute up to block_b x the real work
-    G = max(1, min(block_b, B))
+    Sp = _seq_pad(S)
+    # rows-per-program: clamped to the actual batch (B=1 scoring callers
+    # would otherwise pad to block_b rows and compute block_b x the work),
+    # scaled up when Sp is short so programs stay amortized
+    G = _rows_per_program(block_b, B, Sp)
     Bp = _round_up(B, G)
     if mask is None:
         mask = jnp.ones((B, S), dtype=bool)
@@ -757,11 +778,11 @@ def fused_short_attention_qkv_proj(
         raise ValueError(f"in-kernel RoPE needs even Dh, got {Dh}")
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
-    Sp = _round_up(S, 128)
-    # clamp the rows-per-program to the actual batch: small-batch callers
-    # (B=1 scoring through attention_dispatch) would otherwise pad to
-    # block_b rows and compute up to block_b x the real work
-    G = max(1, min(block_b, B))
+    Sp = _seq_pad(S)
+    # rows-per-program: clamped to the actual batch (B=1 scoring callers
+    # would otherwise pad to block_b rows and compute block_b x the work),
+    # scaled up when Sp is short so programs stay amortized
+    G = _rows_per_program(block_b, B, Sp)
     Bp = _round_up(B, G)
     if mask is None:
         mask = jnp.ones((B, S), dtype=bool)
@@ -993,11 +1014,11 @@ def fused_cls_attention(
     Dh = D // num_heads
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
-    Sp = _round_up(S, 128)
-    # clamp the rows-per-program to the actual batch: small-batch callers
-    # (B=1 scoring through attention_dispatch) would otherwise pad to
-    # block_b rows and compute up to block_b x the real work
-    G = max(1, min(block_b, B))
+    Sp = _seq_pad(S)
+    # rows-per-program: clamped to the actual batch (B=1 scoring callers
+    # would otherwise pad to block_b rows and compute block_b x the work),
+    # scaled up when Sp is short so programs stay amortized
+    G = _rows_per_program(block_b, B, Sp)
     Bp = _round_up(B, G)
     if mask is None:
         mask = jnp.ones((B, S), dtype=bool)
@@ -1053,11 +1074,11 @@ def fused_short_attention(
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
 
-    Sp = _round_up(S, 128)
-    # clamp the rows-per-program to the actual batch: small-batch callers
-    # (B=1 scoring through attention_dispatch) would otherwise pad to
-    # block_b rows and compute up to block_b x the real work
-    G = max(1, min(block_b, B))
+    Sp = _seq_pad(S)
+    # rows-per-program: clamped to the actual batch (B=1 scoring callers
+    # would otherwise pad to block_b rows and compute block_b x the work),
+    # scaled up when Sp is short so programs stay amortized
+    G = _rows_per_program(block_b, B, Sp)
     Bp = _round_up(B, G)
     if mask is None:
         mask = jnp.ones((B, S), dtype=bool)
@@ -1106,11 +1127,11 @@ def fused_short_attention_heads(
                          f"shape, got {qh.shape} {kh.shape} {vh.shape}")
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
-    Sp = _round_up(S, 128)
-    # clamp the rows-per-program to the actual batch: small-batch callers
-    # (B=1 scoring through attention_dispatch) would otherwise pad to
-    # block_b rows and compute up to block_b x the real work
-    G = max(1, min(block_b, B))
+    Sp = _seq_pad(S)
+    # rows-per-program: clamped to the actual batch (B=1 scoring callers
+    # would otherwise pad to block_b rows and compute block_b x the work),
+    # scaled up when Sp is short so programs stay amortized
+    G = _rows_per_program(block_b, B, Sp)
     Bp = _round_up(B, G)
     if mask is None:
         mask = jnp.ones((B, S), dtype=bool)
@@ -1140,3 +1161,242 @@ def short_attention_reference(q, k, v, num_heads, mask=None, scale=None):
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     return _merge_heads(attention_reference(qh, kh, vh, mask=mask,
                                             scale=scale))
+
+
+# ---------------------------------------------------------------------------
+# TINY-S packed-diagonal attention (S < 64): the tf_clip perturbation tower
+# (B=4096, S=10 top-DEG tokens, tf nb cell 41). Neither standard formulation
+# works there (r5 measurements):
+#   * XLA tiles the [B, H, S, S] scores to (8, 128) lanes — 10/128 lane
+#     density, ~20 ms/step of inflated fusions + layout copies in the
+#     BACKWARD (r5 trace);
+#   * the per-head-loop kernels above run G x H tiny (16, Dh) dots — MXU
+#     instruction-bound (82.8 vs 70.2 ms on the full step, r5 dead end).
+# This variant packs P = R / Sp samples along the row axis of ONE
+# (R, Dh) x (Dh, R) score dot per head with a static block-diagonal bias
+# (rows attend only within their own sample), so every dot is MXU-shaped
+# (R = 128 rows) and the scores never leave VMEM. The 2D (B*Sp, 3D) layout
+# is a reshape VIEW of the padded qkv — no head-split or transpose copies
+# on either side, and the out-projection rides the same program.
+# ---------------------------------------------------------------------------
+
+
+def _tiny_diag_bias(R: int, sp: int):
+    """(R, R) additive bias: 0 within a sample's sp-row group, -1e30 across."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    return jnp.where((r // sp) == (c // sp), 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _tiny_fwd_kernel(qkv_ref, bias_ref, wo_ref, bo_ref, o_ref, y_ref, *,
+                     heads: int, scale: float, sp: int):
+    R = qkv_ref.shape[0]
+    D = qkv_ref.shape[-1] // 3
+    Dh = D // heads
+    diag = _tiny_diag_bias(R, sp)
+    kbias = bias_ref[0][None, :]  # (1, R) additive key bias
+    for h in range(heads):
+        q = qkv_ref[:, h * Dh:(h + 1) * Dh]
+        k = qkv_ref[:, D + h * Dh:D + (h + 1) * Dh]
+        v = qkv_ref[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + kbias + diag  # (R, R)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l
+        o_ref[:, h * Dh:(h + 1) * Dh] = o.astype(o_ref.dtype)
+    y = jax.lax.dot_general(
+        o_ref[:], wo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[:].astype(jnp.float32)
+    y_ref[:] = y.astype(y_ref.dtype)
+
+
+def _tiny_bwd_kernel(qkv_ref, bias_ref, wo_ref, o_ref, dy_ref, dqkv_ref, *,
+                     heads: int, scale: float, sp: int):
+    R = qkv_ref.shape[0]
+    D = qkv_ref.shape[-1] // 3
+    Dh = D // heads
+    diag = _tiny_diag_bias(R, sp)
+    kbias = bias_ref[0][None, :]
+    # do = dy @ Wo^T once for all heads (dWo/dbo ride XLA from the saved o)
+    do_full = jax.lax.dot_general(
+        dy_ref[:], wo_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dy_ref.dtype)
+    for h in range(heads):
+        q = qkv_ref[:, h * Dh:(h + 1) * Dh]
+        k = qkv_ref[:, D + h * Dh:D + (h + 1) * Dh]
+        v = qkv_ref[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh]
+        do = do_full[:, h * Dh:(h + 1) * Dh].astype(jnp.float32)
+        # recompute the probabilities EXACTLY as the forward did
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + kbias + diag
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        prob = p / l
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o = o_ref[:, h * Dh:(h + 1) * Dh].astype(jnp.float32)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        ds = prob * (dp - delta) * scale
+        ds_c = ds.astype(k.dtype)
+        dqkv_ref[:, h * Dh:(h + 1) * Dh] = jax.lax.dot_general(
+            ds_c, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+        dqkv_ref[:, D + h * Dh:D + (h + 1) * Dh] = jax.lax.dot_general(
+            ds_c, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+        dqkv_ref[:, 2 * D + h * Dh:2 * D + (h + 1) * Dh] = (
+            jax.lax.dot_general(
+                prob.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dqkv_ref.dtype))
+
+
+def _tiny_fwd_call(qkv2, bias2, wo, bo, *, heads, scale, sp, R, interpret):
+    N, D3 = qkv2.shape
+    D = D3 // 3
+    kernel = functools.partial(_tiny_fwd_kernel, heads=heads, scale=scale,
+                               sp=sp)
+    o, y = pl.pallas_call(
+        kernel,
+        grid=(N // R,),
+        in_specs=[
+            pl.BlockSpec((R, D3), lambda i: (i, 0)),
+            pl.BlockSpec((1, R), lambda i: (0, i)),
+            pl.BlockSpec((D, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, D), lambda i: (i, 0)),
+            pl.BlockSpec((R, D), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, D), qkv2.dtype),
+            jax.ShapeDtypeStruct((N, D), qkv2.dtype),
+        ],
+        interpret=interpret,
+    )(qkv2, bias2, wo.astype(qkv2.dtype), bo.reshape(1, D).astype(qkv2.dtype))
+    return o, y
+
+
+def _tiny_bwd_call(qkv2, bias2, wo, o, dy, *, heads, scale, sp, R,
+                   interpret):
+    N, D3 = qkv2.shape
+    D = D3 // 3
+    kernel = functools.partial(_tiny_bwd_kernel, heads=heads, scale=scale,
+                               sp=sp)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // R,),
+        in_specs=[
+            pl.BlockSpec((R, D3), lambda i: (i, 0)),
+            pl.BlockSpec((1, R), lambda i: (0, i)),
+            pl.BlockSpec((D, D), lambda i: (0, 0)),
+            pl.BlockSpec((R, D), lambda i: (i, 0)),
+            pl.BlockSpec((R, D), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, D3), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, D3), qkv2.dtype),
+        interpret=interpret,
+    )(qkv2, bias2, wo.astype(qkv2.dtype), o, dy.astype(qkv2.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _tiny_attn_core(qkv2, bias2, wo_bo, heads, scale, sp, R, interpret):
+    wo, bo = wo_bo
+    _, y = _tiny_fwd_call(qkv2, bias2, wo, bo, heads=heads, scale=scale,
+                          sp=sp, R=R, interpret=interpret)
+    return y
+
+
+def _tiny_attn_fwd(qkv2, bias2, wo_bo, heads, scale, sp, R, interpret):
+    wo, bo = wo_bo
+    o, y = _tiny_fwd_call(qkv2, bias2, wo, bo, heads=heads, scale=scale,
+                          sp=sp, R=R, interpret=interpret)
+    return y, (qkv2, bias2, wo, o)
+
+
+def _tiny_attn_bwd(heads, scale, sp, R, interpret, res, dy):
+    qkv2, bias2, wo, o = res
+    dqkv = _tiny_bwd_call(qkv2, bias2, wo, o, dy, heads=heads, scale=scale,
+                          sp=sp, R=R, interpret=interpret)
+    # dWo = o^T dy, dbo = sum dy: two well-shaped XLA matmul/reduce ops on
+    # the saved (N, D) attention output — f32 param cotangents
+    dwo = jnp.einsum("nd,ne->de", o.astype(jnp.float32),
+                     dy.astype(jnp.float32))
+    dbo = jnp.sum(dy.astype(jnp.float32), axis=0)
+    return dqkv, None, (dwo, dbo)
+
+
+_tiny_attn_core.defvjp(_tiny_attn_fwd, _tiny_attn_bwd)
+
+
+def tiny_attention_rows() -> int:
+    """Packed rows per program (R). 128 = one MXU tile of rows; score-FLOP
+    waste grows as R/Sp, so keep R at the tile size.
+    CLIP_DPLM_TINY_ATTN_ROWS overrides."""
+    import os
+
+    try:
+        return int(os.environ.get("CLIP_DPLM_TINY_ATTN_ROWS", 128))
+    except ValueError:  # pragma: no cover
+        return 128
+
+
+def fused_tiny_attention_proj(
+    qkv: jax.Array,
+    wo: jax.Array,
+    bo: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Tiny-S (S < 64) packed attention with the out-projection fused:
+    y = attention(qkv) @ wo + bo, (B, S, D) out — same contract as
+    fused_short_attention_qkv_proj. P = R/Sp samples share each (R, R)
+    score dot under a static block-diagonal bias."""
+    B, S, D3 = qkv.shape
+    if D3 % 3:
+        raise ValueError(f"packed qkv needs last dim divisible by 3, got {D3}")
+    D = D3 // 3
+    if wo.shape != (D, D):
+        raise ValueError(f"wo must be ({D}, {D}), got {wo.shape}")
+    if D % num_heads:
+        raise ValueError(f"D={D} not divisible by num_heads={num_heads}")
+    Dh = D // num_heads
+    if scale is None:
+        scale = 1.0 / (Dh ** 0.5)
+    sp = max(16, _round_up(S, 16))
+    R = tiny_attention_rows()
+    if R % sp:
+        R = _round_up(R, sp)
+    P = R // sp  # samples per program
+    Bp = _round_up(B, P)
+    if mask is None:
+        mask = jnp.ones((B, S), dtype=bool)
+    qkvp, maskp = qkv, mask
+    if sp != S or Bp != B:
+        qkvp = jnp.pad(qkv, ((0, Bp - B), (0, sp - S), (0, 0)))
+        maskp = jnp.pad(mask, ((0, Bp - B), (0, sp - S)))
+    qkv2 = qkvp.reshape(Bp * sp, D3)
+    bias2 = jnp.where(maskp, 0.0, NEG_INF).astype(
+        jnp.float32).reshape(1, Bp * sp)
+    y2 = _tiny_attn_core(qkv2, bias2, (wo, bo), num_heads, float(scale),
+                         sp, R, interpret)
+    y = y2.reshape(Bp, sp, D)
+    if sp != S or Bp != B:
+        y = y[:B, :S]
+    return y

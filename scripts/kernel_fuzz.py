@@ -247,11 +247,56 @@ def fuzz_fused_dense(rng: np.random.Generator, case: int) -> str:
     return recipe
 
 
+def fuzz_tiny_attention(rng: np.random.Generator, case: int) -> str:
+    """Packed-diagonal tiny-S attention+proj vs split + reference + proj."""
+    from clip_dplm_tpu.ops.short_attention import (
+        fused_tiny_attention_proj,
+        short_attention_reference,
+    )
+
+    B = int(rng.choice([1, 3, 8, 19, 33]))
+    S = int(rng.choice([2, 5, 10, 16, 31, 48]))
+    H = int(rng.choice([1, 2, 4, 8]))
+    Dh = int(rng.choice([8, 32, 64]))
+    D = H * Dh
+    masked = bool(rng.choice([True, False]))
+    recipe = f"tiny_attn B={B} S={S} H={H} Dh={Dh} masked={masked}"
+
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)), jnp.float32)
+    wo = jnp.asarray(rng.normal(size=(D, D)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    if masked:
+        lens = rng.integers(1, S + 1, size=(B,))
+        mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+        w = mask[:, :, None].astype(jnp.float32)
+    else:
+        mask, w = None, jnp.ones((B, S, 1), jnp.float32)
+
+    def ref(qkv, wo, bo):
+        q, k, v = qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]
+        o = short_attention_reference(q, k, v, H, mask=mask)
+        return jnp.sum(jnp.sin((o @ wo + bo) * w))
+
+    def fused(qkv, wo, bo):
+        return jnp.sum(jnp.sin(fused_tiny_attention_proj(
+            qkv, wo, bo, H, mask=mask, interpret=True) * w))
+
+    ref_l, ref_g = jax.value_and_grad(ref, argnums=(0, 1, 2))(qkv, wo, bo)
+    with pltpu.force_tpu_interpret_mode():
+        got_l, got_g = jax.value_and_grad(
+            fused, argnums=(0, 1, 2))(qkv, wo, bo)
+    _close(got_l, ref_l, 1e-3, 1e-3, "out", recipe)
+    for g1, g2, n in zip(got_g, ref_g, ["dqkv", "dwo", "dbo"]):
+        _close(g1, g2, 1e-3, 1e-3, n, recipe)
+    return recipe
+
+
 FUZZERS = {
     "loss": fuzz_fused_loss,
     "attn": fuzz_short_attention,
     "qkv_proj": fuzz_qkv_proj,
     "cls": fuzz_cls_attention,
+    "tiny": fuzz_tiny_attention,
     "dense": fuzz_fused_dense,
 }
 

@@ -143,6 +143,8 @@ def probe_tf_clip() -> dict:
     fwd_s, fwd_compile_s = timed(fwd_det, state.params, batch, iters=iters)
     return {
         "config": "tf_clip 3-way (tf nb cell 41), fused multiway loss",
+        "short_attn_min_seq": os.environ.get(
+            "CLIP_DPLM_SHORT_ATTN_MIN_SEQ", "default"),
         "batch_size": B,
         "iters_chained": iters,
         "compile_s": round(compile_s, 1),
@@ -276,7 +278,7 @@ def main():
         print("probing tf_clip ...", flush=True)
         results["tf_clip"] = probe_tf_clip()
         print(json.dumps(results["tf_clip"]), flush=True)
-        with open(os.path.join(EVIDENCE, "tf_clip_probe_r4.json"), "w") as f:
+        with open(os.path.join(EVIDENCE, "tf_clip_probe_r5.json"), "w") as f:
             json.dump(results["tf_clip"], f, indent=1)
     if "triple_flow" in which:
         print("probing triple_flow CFM ...", flush=True)

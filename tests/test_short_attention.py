@@ -40,6 +40,104 @@ def test_forward_matches_reference(rng, heads, layout):
     )
 
 
+@pytest.mark.parametrize("layout", ["bhsd", "bsd"])
+def test_tiny_s_forward_and_grads_match_reference(rng, layout):
+    """S=10 (the tf_clip perturbation tower's top-DEG tokens): pads to the
+    16-row sublane tile (_seq_pad) instead of 128, with G scaled up."""
+    q, k, v, mask = _inputs(rng, B=24, S=10, D=64)
+    heads = 4
+    want = short_attention_reference(q, k, v, heads, mask=mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_short_attention(q, k, v, heads, mask=mask, block_b=8,
+                                    layout=layout, interpret=True)
+    valid = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * valid, np.asarray(want) * valid,
+        atol=1e-5, rtol=1e-4)
+
+    w = jnp.asarray(rng.normal(size=got.shape).astype(np.float32))
+    w = w * valid
+
+    def loss_ref(q, k, v):
+        return jnp.sum(short_attention_reference(q, k, v, heads, mask=mask) * w)
+
+    def loss_fused(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_short_attention(
+                q, k, v, heads, mask=mask, block_b=8, layout=layout,
+                save_probs=False, interpret=True) * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    for gr, gf in zip(g_ref, g_fused):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_tiny_s_packed_proj_matches_reference(rng):
+    """Packed qkv+proj path at S=10 — the TransformerBlock route the tf_clip
+    pert tower takes once the dispatch gate admits tiny S."""
+    from clip_dplm_tpu.ops.short_attention import (
+        fused_short_attention_qkv_proj,
+    )
+
+    B, S, D, heads = 16, 10, 64, 4
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)).astype(np.float32))
+    wo = jnp.asarray(rng.normal(size=(D, D)).astype(np.float32)) / 8.0
+    bo = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    want = short_attention_reference(q, k, v, heads) @ wo + bo
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_short_attention_qkv_proj(qkv, wo, bo, heads, block_b=8,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("masked", [True, False])
+def test_tiny_packed_diag_matches_reference(rng, masked):
+    """fused_tiny_attention_proj (packed-diagonal, P samples per score dot):
+    values + gradients vs reference at the tf_clip pert-tower shape class
+    (S=10), including padded samples (B not a multiple of P)."""
+    from clip_dplm_tpu.ops.short_attention import fused_tiny_attention_proj
+
+    B, S, D, heads = 19, 10, 64, 4  # B=19: exercises sample padding
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)).astype(np.float32))
+    wo = jnp.asarray(rng.normal(size=(D, D)).astype(np.float32)) / 8.0
+    bo = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    if masked:
+        lens = rng.integers(3, S + 1, B)
+        mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+    else:
+        mask = None
+
+    def ref(qkv, wo, bo):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return short_attention_reference(q, k, v, heads, mask=mask) @ wo + bo
+
+    def fused(qkv, wo, bo):
+        with pltpu.force_tpu_interpret_mode():
+            return fused_tiny_attention_proj(qkv, wo, bo, heads, mask=mask,
+                                             interpret=True)
+
+    want = ref(qkv, wo, bo)
+    got = fused(qkv, wo, bo)
+    valid = (np.ones((B, S, 1)) if mask is None
+             else np.asarray(mask)[:, :, None])
+    np.testing.assert_allclose(np.asarray(got) * valid,
+                               np.asarray(want) * valid,
+                               atol=2e-5, rtol=1e-3)
+
+    w = jnp.asarray(rng.normal(size=want.shape).astype(np.float32)) * valid
+    g_ref = jax.grad(lambda *a: jnp.sum(ref(*a) * w), argnums=(0, 1, 2))(
+        qkv, wo, bo)
+    g_fus = jax.grad(lambda *a: jnp.sum(fused(*a) * w), argnums=(0, 1, 2))(
+        qkv, wo, bo)
+    for gr, gf, name in zip(g_ref, g_fus, ("dqkv", "dwo", "dbo")):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-5, rtol=2e-3, err_msg=name)
+
+
 def test_forward_no_mask(rng):
     q, k, v, _ = _inputs(rng, masked=False)
     want = short_attention_reference(q, k, v, 4)
