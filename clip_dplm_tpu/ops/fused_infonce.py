@@ -632,13 +632,16 @@ def _sym_grad_merged(raw_q, ap, bp, scale2d, colmask, rowmask, lse_row_p,
     # estimate measured ~0.25% slower at B=8192 (scheduler headroom).
     vmem_need = (np_ * d * 4 + _resident_bytes(bp) + 2 * block_m * d * 4
                  + 8 * 1024 * 1024)
-    # The tight limit is PROVEN only on the measured envelope (the headline
-    # B-sweep: d=512, np_<=8192, default 512x1024 blocks). Outside it, a
-    # shape can pass the MERGED_VMEM_CAP engagement gate while its true
-    # working set exceeds the tight limit — a hard Mosaic compile failure.
-    # There, pass the full (over-)estimate instead: ~0.25% scheduling cost
-    # beats failing to compile a shape the gate admits (ADVICE r3).
-    proven = d == 512 and np_ <= 8192 and block_m == 512 and block_n == 1024
+    # The tight limit is PROVEN only at the certified headline operating
+    # point (d=512, np_==8192, default 512x1024 blocks) IN the headline
+    # model. It is NOT a pure shape property: the r5 tf_clip+fused_dense
+    # composition hit a hard Mosaic stack OOM at np_=4096/d=512 (24.7M
+    # stack vs the 22.0M tight limit) even though the same shape compiled
+    # fine in the r3 headline B-sweep — surrounding-program layouts change
+    # Mosaic's window allocation. Everywhere outside the exact headline
+    # point, pass the full (over-)estimate: ~0.25% scheduling cost beats a
+    # compile failure the engagement gate admitted (ADVICE r3, r5 fix).
+    proven = d == 512 and np_ == 8192 and block_m == 512 and block_n == 1024
     if not proven:
         vmem_need = max(
             vmem_need, _merged_vmem_need(np_, d, bp, block_m, block_n))

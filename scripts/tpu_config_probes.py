@@ -100,7 +100,9 @@ def probe_tf_clip() -> dict:
 
     B = int(os.environ.get("PROBE_TF_B", 4096))
     iters = int(os.environ.get("PROBE_ITERS", 10))
-    cfg, model, state, batch = tf_clip_fixture(B)
+    overrides = [o for o in os.environ.get("BENCH_OVERRIDES", "").split(",")
+                 if o]
+    cfg, model, state, batch = tf_clip_fixture(B, overrides)
     step = make_train_step(cfg)
 
     @jax.jit
@@ -143,6 +145,7 @@ def probe_tf_clip() -> dict:
     fwd_s, fwd_compile_s = timed(fwd_det, state.params, batch, iters=iters)
     return {
         "config": "tf_clip 3-way (tf nb cell 41), fused multiway loss",
+        "overrides": overrides,
         "short_attn_min_seq": os.environ.get(
             "CLIP_DPLM_SHORT_ATTN_MIN_SEQ", "default"),
         "batch_size": B,
