@@ -108,6 +108,13 @@ def run_training_gates(steps: int, B: int, seeds: int, d_model: int,
                             jnp.asarray(tokens0))["params"]
         opt_state = tx.init(params)
         key = jax.random.PRNGKey(1000 + seed)
+        # true step-0 loss, measured directly (the first recorded point is
+        # a mean over the first record chunk, which understates the start
+        # at large record_every and made the plateau/init gate unstable)
+        init_loss = float(np.mean([
+            diffusion_loss(model, params, jax.random.PRNGKey(50 + j),
+                           jnp.asarray(tokens0))[0]
+            for j in range(4)]))
 
         @jax.jit
         def chunk_steps(params, opt_state, key, tokens):
@@ -134,7 +141,7 @@ def run_training_gates(steps: int, B: int, seeds: int, d_model: int,
                 body, (params, opt_state, key), None, length=record_every)
             return params, opt_state, key, losses.mean()
 
-        curve = []
+        curve = [init_loss]
         t0 = time.time()
         for s in range(0, steps, record_every):
             batch = jnp.asarray(grammar_batch(rng, codebook, B))
@@ -143,8 +150,17 @@ def run_training_gates(steps: int, B: int, seeds: int, d_model: int,
             curve.append(float(loss))
         train_s = time.time() - t0
 
+        # 2 denoising steps per generated token: at num_steps == SEQ_LEN the
+        # cosine schedule's late steps commit many positions from their
+        # INDEPENDENT marginals at once and chunks come out inconsistent
+        # (measured on-chip: full-parse 0.02 at 32 steps vs 0.76-0.79 at
+        # 64, with teacher-forcing accuracy 1.0 — a sampler-budget
+        # property, not a model-quality one; temperature 0.5-1.0 is a
+        # no-op). A hard-constraint grammar needs a denser refinement
+        # budget than natural sequence tasks, where the serving default
+        # (100 steps at length 126) suffices.
         toks, _ = sample(model, params, jax.random.PRNGKey(7_000 + seed),
-                         512, SEQ_LEN, num_steps=SEQ_LEN)
+                         512, SEQ_LEN, num_steps=2 * SEQ_LEN)
         st = parse_stats(np.asarray(toks), codebook)
         st["train_seconds"] = round(train_s, 1)
         curves.append(curve)
@@ -273,7 +289,7 @@ def main():
     out = {}
     if "train" in parts:
         out["training"] = run_training_gates(
-            steps=int(os.environ.get("QG_STEPS", 1500)),
+            steps=int(os.environ.get("QG_STEPS", 12000)),
             B=int(os.environ.get("QG_B", 256)),
             seeds=int(os.environ.get("QG_SEEDS", 3)),
             d_model=int(os.environ.get("QG_D", 128)),
