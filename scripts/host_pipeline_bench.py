@@ -105,7 +105,9 @@ def measure_feed(make_iter, n: int, cast_bf16: bool) -> dict:
     dt = time.perf_counter() - t0
     pf.close()
     assert np.isfinite(total)
-    mb = batch_mb(first) / (2.0 if cast_bf16 else 1.0)
+    # `first` is the DELIVERED device batch, so its nbytes already reflect
+    # the wire dtype (bf16 after the cast transform)
+    mb = batch_mb(first)
     return {"batches_per_s": round(n / dt, 2), "wire_batch_mb": round(mb, 1),
             "mb_per_s": round(n / dt * mb, 1)}
 
