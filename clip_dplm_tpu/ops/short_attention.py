@@ -1380,9 +1380,16 @@ def fused_tiny_attention_proj(
     if scale is None:
         scale = 1.0 / (Dh ** 0.5)
     sp = max(16, _round_up(S, 16))
-    R = tiny_attention_rows()
-    if R % sp:
-        R = _round_up(R, sp)
+    # R must be divisible by sp (whole samples per program) AND by the 128
+    # lane width (the (1, R) key-bias block's last dim must be a lane
+    # multiple or Mosaic rejects the lowering — hit at S=33/sp=48, where
+    # the old round-to-sp gave R=144): R = the smallest lcm(sp, 128)
+    # multiple >= the configured row target.
+    import math
+
+    r0 = sp * 128 // math.gcd(sp, 128)
+    base = tiny_attention_rows()
+    R = max(r0, (base + r0 - 1) // r0 * r0)
     P = R // sp  # samples per program
     Bp = _round_up(B, P)
     if mask is None:

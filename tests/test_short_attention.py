@@ -94,6 +94,29 @@ def test_tiny_s_packed_proj_matches_reference(rng):
                                atol=2e-5, rtol=1e-3)
 
 
+def test_tiny_s33_block_geometry_and_parity(rng):
+    """S=33 -> sp=48: R must land on lcm(48,128)=384 so the (1,R) bias
+    block's lane dim stays a 128-multiple (the graft entry() geometry that
+    exposed the R=144 Mosaic lowering rejection, r5)."""
+    from clip_dplm_tpu.ops.short_attention import fused_tiny_attention_proj
+
+    B, S, D, heads = 16, 33, 64, 4
+    qkv = jnp.asarray(rng.normal(size=(B, S, 3 * D)).astype(np.float32))
+    wo = jnp.asarray(rng.normal(size=(D, D)).astype(np.float32)) / 8.0
+    bo = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    lens = rng.integers(5, S + 1, B)
+    mask = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    want = short_attention_reference(q, k, v, heads, mask=mask) @ wo + bo
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_tiny_attention_proj(qkv, wo, bo, heads, mask=mask,
+                                        interpret=True)
+    valid = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(np.asarray(got) * valid,
+                               np.asarray(want) * valid,
+                               atol=2e-5, rtol=1e-3)
+
+
 @pytest.mark.parametrize("masked", [True, False])
 def test_tiny_packed_diag_matches_reference(rng, masked):
     """fused_tiny_attention_proj (packed-diagonal, P samples per score dot):
