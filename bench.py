@@ -107,8 +107,10 @@ def bench_payload(metric: str, value: float, unit: str,
         "value": value,
         "unit": unit,
         "vs_baseline": round(fps / (0.95 * peak), 4),
-        "model_tflops_per_s_per_chip": round(fps / 1e12, 2),
-        "mfu": round(fps / peak, 4),
+        # 6 decimals: the CPU contract smoke runs tiny shapes whose TF/s
+        # round to 0.0 at 2 (the contract test asserts > 0)
+        "model_tflops_per_s_per_chip": round(fps / 1e12, 6),
+        "mfu": round(fps / peak, 6),
         "peak_bf16_tflops": round(peak / 1e12, 1),
         "certificate": "BASELINE.md (certified wall: floor accounting + recorded dead ends)",
     }
