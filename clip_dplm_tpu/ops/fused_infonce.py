@@ -643,8 +643,15 @@ def _sym_grad_merged(raw_q, ap, bp, scale2d, colmask, rowmask, lse_row_p,
     # compile failure the engagement gate admitted (ADVICE r3, r5 fix).
     proven = d == 512 and np_ == 8192 and block_m == 512 and block_n == 1024
     if not proven:
+        # the raw estimate itself undercounts in some compositions (r5:
+        # tf_clip+fused_dense allocated 24.66 MiB where the sum said
+        # 22.75 for the same shape that compiled leaner in the headline
+        # program — Mosaic's stack depends on surrounding layouts); pad
+        # 15% + 2 MB, clamped at the 40 MB hard cap
         vmem_need = max(
-            vmem_need, _merged_vmem_need(np_, d, bp, block_m, block_n))
+            vmem_need,
+            int(1.15 * _merged_vmem_need(np_, d, bp, block_m, block_n))
+            + 2 * 1024 * 1024)
     acc_a, rowdot, acc_b = pl.pallas_call(
         functools.partial(_sym_grad_merged_kernel, nm=nm, nn=nn,
                           block_n=block_n, masked=masked),

@@ -29,7 +29,7 @@ test_composed_dp_tp_pp_train_step_matches_unpipelined.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
