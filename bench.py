@@ -40,6 +40,11 @@ def _enable_compile_cache() -> None:
     cache hit) — a cold compile can push the whole bench past the driver's
     `timeout 570`. The cache dir is repo-local and gitignored; it works on
     the axon platform (verified by hit/miss timing probes).
+
+    Idempotent, and ALSO invoked at module level below, so scripts that
+    `from bench import _enable_compile_cache` get the cache from the
+    import itself; their explicit call is belt-and-braces documentation of
+    the dependency, not a second effect.
     """
     import os
 

@@ -616,6 +616,17 @@ def _merged_vmem_need(np_: int, d: int, bp, block_m: int, block_n: int) -> int:
     )
 
 
+def _merged_vmem_need_padded(np_: int, d: int, bp, block_m: int,
+                             block_n: int) -> int:
+    """Padded estimate (15% + 2 MB over the itemized sum): Mosaic's true
+    stack depends on surrounding-program layouts, not just this kernel's
+    blocks (r5: 24.66 MiB actual vs 22.75 estimated in the
+    tf_clip+fused_dense composition). Used by BOTH the engagement gate and
+    the vmem limit outside the proven headline point, so they agree."""
+    return int(1.15 * _merged_vmem_need(np_, d, bp, block_m, block_n)) \
+        + 2 * 1024 * 1024
+
+
 def _sym_grad_merged(raw_q, ap, bp, scale2d, colmask, rowmask, lse_row_p,
                      lse_col_p, block_m: int, block_n: int, masked: bool):
     """Driver for `_sym_grad_merged_kernel`: grid (nm, nn) row-major; dy's
@@ -650,8 +661,7 @@ def _sym_grad_merged(raw_q, ap, bp, scale2d, colmask, rowmask, lse_row_p,
         # 15% + 2 MB, clamped at the 40 MB hard cap
         vmem_need = max(
             vmem_need,
-            int(1.15 * _merged_vmem_need(np_, d, bp, block_m, block_n))
-            + 2 * 1024 * 1024)
+            _merged_vmem_need_padded(np_, d, bp, block_m, block_n))
     acc_a, rowdot, acc_b = pl.pallas_call(
         functools.partial(_sym_grad_merged_kernel, nm=nm, nn=nn,
                           block_n=block_n, masked=masked),
@@ -722,9 +732,19 @@ def _sym_grad_passes_from_raw(raw_q, a, b, scale, lse_row, lse_col,
     res_a = _resident_bytes(ap) <= RESIDENT_BYTES_LIMIT
 
     mode = _merged_bwd_mode()
-    merged_ok = (res_b
-                 and _merged_vmem_need(np_, d, bp, block_m, block_n)
-                 <= MERGED_VMEM_CAP)
+    # Engagement must use the SAME padded estimate the limit uses outside
+    # the proven point (r5 review finding: gating on the raw sum while the
+    # limit is clamped at 40 MB re-admits shapes near the cap whose true
+    # Mosaic stack exceeds it — the exact failure class the padding fixed).
+    # The proven headline point (d=512, np_=8192, 512x1024 blocks) keeps
+    # its measured engagement: its raw 36.4 MB working set compiles at the
+    # tight limit across the r3/r4/r5 bench history.
+    proven_pt = d == 512 and np_ == 8192 and block_m == 512 and block_n == 1024
+    merged_ok = res_b and (
+        (_merged_vmem_need(np_, d, bp, block_m, block_n)
+         if proven_pt else
+         _merged_vmem_need_padded(np_, d, bp, block_m, block_n))
+        <= MERGED_VMEM_CAP)
     if mode == "1" or (mode == "auto" and merged_ok):
         acc_a, rowdot, acc_b = _sym_grad_merged(
             raw_q, ap, bp, scale2d, colmask, rowmask, lse_row_p, lse_col_p,

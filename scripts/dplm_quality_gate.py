@@ -100,6 +100,33 @@ def run_training_gates(steps: int, B: int, seeds: int, d_model: int,
     record_every = max(1, steps // 30)
     tx = optax.adamw(3e-4, weight_decay=0.01)
 
+    @jax.jit
+    def chunk_steps(params, opt_state, key, tokens):
+        """record_every train steps chained in one jit (honest timing +
+        one host fetch per record, CLAUDE.md). Defined ONCE outside the
+        seed loop — per-seed redefinition retraced the identical program
+        every seed (r5 review finding). Fresh grammar batches are fed per
+        chunk; inside the chunk the same batch is reused with a fresh
+        corruption draw per step (the corruption IS the data augmentation
+        in absorbing-state diffusion)."""
+
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+
+            def loss_fn(p):
+                loss, _ = diffusion_loss(model, p, sub, tokens)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), None, length=record_every)
+        return params, opt_state, key, losses.mean()
+
     curves, samples_stats = [], []
     for seed in range(seeds):
         rng = np.random.default_rng(seed)
@@ -115,31 +142,6 @@ def run_training_gates(steps: int, B: int, seeds: int, d_model: int,
             diffusion_loss(model, params, jax.random.PRNGKey(50 + j),
                            jnp.asarray(tokens0))[0]
             for j in range(4)]))
-
-        @jax.jit
-        def chunk_steps(params, opt_state, key, tokens):
-            """record_every train steps chained in one jit (honest timing +
-            one host fetch per record, CLAUDE.md). Fresh grammar batches are
-            fed per chunk; inside the chunk the same batch is reused with a
-            fresh corruption draw per step (the corruption IS the data
-            augmentation in absorbing-state diffusion)."""
-
-            def body(carry, _):
-                params, opt_state, key = carry
-                key, sub = jax.random.split(key)
-
-                def loss_fn(p):
-                    loss, _ = diffusion_loss(model, p, sub, tokens)
-                    return loss
-
-                loss, grads = jax.value_and_grad(loss_fn)(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state, key), loss
-
-            (params, opt_state, key), losses = jax.lax.scan(
-                body, (params, opt_state, key), None, length=record_every)
-            return params, opt_state, key, losses.mean()
 
         curve = [init_loss]
         t0 = time.time()
@@ -244,23 +246,31 @@ def run_guided_gate(B: int, K: int, length: int, steps: int,
     codebook = make_codebook()
     ref = grammar_batch(np.random.default_rng(3), codebook, 1)
     cond = encode(jnp.asarray(ref), jnp.asarray(ref != 1))[0]
-    scorer = make_clip_scorer(encode, cond)
 
-    # params as runtime args, not jit-closure constants (tunnel upload cost)
+    # ALL param trees as runtime args, not jit-closure constants (tunnel
+    # upload cost): the trunk AND the scorer tower/projection (the r5
+    # review caught tp/pp riding the closure while the comment claimed
+    # otherwise)
     @jax.jit
-    def one_round(key, p):
+    def one_round(key, p, tp_, pp_):
+        def enc(tokens, mask):
+            e = tower.apply({"params": tp_}, tokens, mask,
+                            pooling="mean_residues")
+            return proj.apply({"params": pp_}, e)
+
+        sc = make_clip_scorer(enc, cond)
         k_g, k_u = jax.random.split(key)
         guided_toks, guided_scores = clip_guided_sample(
-            model, p, k_g, scorer, B, length,
+            model, p, k_g, sc, B, length,
             num_candidates=K, num_steps=steps)
         unguided_toks, _ = sample(model, p, k_u, B, length,
                                   num_steps=steps)
-        return guided_scores, scorer(unguided_toks)
+        return guided_scores, sc(unguided_toks)
 
     deltas, g_means, u_means = [], [], []
     t0 = time.time()
     for i in range(n_batches):
-        g, u = one_round(jax.random.PRNGKey(500 + i), params)
+        g, u = one_round(jax.random.PRNGKey(500 + i), params, tp, pp)
         g, u = np.asarray(g), np.asarray(u)
         deltas.extend((g - u).tolist())
         g_means.append(float(g.mean()))

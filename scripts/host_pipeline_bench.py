@@ -186,7 +186,10 @@ def headline(n: int) -> dict:
     _progress(f"headline feed_bf16: {out['feed_bf16']}")
     out["e2e"] = measure_e2e(cfg, TwoTowerCLIP(cfg=cfg), make_iter, n)
     _progress(f"headline e2e: {out['e2e']}")
-    out["device_resident_steps_per_s"] = round(913038 / B, 2)  # BENCH_r04
+    # the certified rate was measured at B=8192 ONLY; at any other HP_B the
+    # division would fabricate a reference (pairs/s is not B-invariant)
+    if B == 8192:
+        out["device_resident_steps_per_s"] = round(913038 / B, 2)  # BENCH r4
     return out
 
 
@@ -233,7 +236,8 @@ def flagship(n: int) -> dict:
     _progress(f"flagship feed_bf16: {out['feed_bf16']}")
     out["e2e"] = measure_e2e(cfg, RNARBPCLIP(cfg=cfg), make_iter, n)
     _progress(f"flagship e2e: {out['e2e']}")
-    out["device_resident_steps_per_s"] = round(8771 / B, 2)  # BENCH_r04
+    if B == 1024:  # see the headline note: certified at this B only
+        out["device_resident_steps_per_s"] = round(8771 / B, 2)  # BENCH r4
     return out
 
 
